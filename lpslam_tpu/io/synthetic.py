@@ -1,0 +1,144 @@
+"""Synthetic imagery with exact ground truth.
+
+Replaces the reference's Webots simulation source
+(/root/reference/src/Sources/WebotsSource.cpp — camera frames + ground-truth
+GlobalState for testing) with a dataset-free generator: a corner-rich planar
+texture observed by a moving pinhole camera. Because the scene is planar, the
+image for any camera pose is an exact homography warp of the texture — giving
+pixel-perfect ground truth for detector/matcher/tracker tests and benchmarks
+without any dataset download.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..geometry.se3 import SE3, se3_exp, se3_inverse, se3_compose
+
+
+def make_texture(h: int = 480, w: int = 640, seed: int = 0, n_shapes: int = 400):
+    """Corner-rich random texture: overlapping axis-aligned rectangles of
+    random intensity on a mid-gray background, lightly smoothed. Returns
+    float32 (h, w) in [0, 255].
+    """
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 128.0, np.float32)
+    for _ in range(n_shapes):
+        rw = rng.integers(8, 64)
+        rh = rng.integers(8, 64)
+        x0 = rng.integers(0, w - rw)
+        y0 = rng.integers(0, h - rh)
+        val = rng.uniform(20, 235)
+        img[y0 : y0 + rh, x0 : x0 + rw] = val
+    # light blur to avoid aliasing while keeping corners sharp
+    k = np.array([0.25, 0.5, 0.25], np.float32)
+    img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+    img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
+    return img.astype(np.float32)
+
+
+def warp_homography(img: np.ndarray, H: np.ndarray, out_shape=None):
+    """Warp img by homography H (maps src pixel -> dst pixel). Pure numpy
+    bilinear inverse warp (host-side test utility)."""
+    if out_shape is None:
+        out_shape = img.shape
+    oh, ow = out_shape
+    Hinv = np.linalg.inv(H)
+    ys, xs = np.mgrid[0:oh, 0:ow].astype(np.float64)
+    ones = np.ones_like(xs)
+    pts = np.stack([xs, ys, ones], axis=0).reshape(3, -1)
+    src = Hinv @ pts
+    sx = (src[0] / src[2]).reshape(oh, ow)
+    sy = (src[1] / src[2]).reshape(oh, ow)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, img.shape[1] - 2)
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, img.shape[0] - 2)
+    fx = np.clip(sx - x0, 0, 1)
+    fy = np.clip(sy - y0, 0, 1)
+    v = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x0 + 1] * fx * (1 - fy)
+        + img[y0 + 1, x0] * (1 - fx) * fy
+        + img[y0 + 1, x0 + 1] * fx * fy
+    )
+    oob = (sx < 0) | (sx > img.shape[1] - 1) | (sy < 0) | (sy > img.shape[0] - 1)
+    v = np.where(oob, 128.0, v)
+    return v.astype(np.float32)
+
+
+class SyntheticSequence(NamedTuple):
+    """A planar-scene camera sequence with exact ground truth."""
+
+    images: np.ndarray        # (T, H, W) float32
+    poses_wc: list            # list of SE3 (camera-to-world), numpy-backed
+    K: np.ndarray             # (3, 3) intrinsics
+    plane_z: float            # scene plane depth in world frame
+
+
+def make_sequence(
+    num_frames: int = 30,
+    h: int = 480,
+    w: int = 640,
+    seed: int = 0,
+    motion: str = "orbit",
+    fx: float = 460.0,
+    plane_z: float = 5.0,
+    tex_scale: int = 4,
+):
+    """Render a sequence of a textured plane z=plane_z (world units) from a
+    camera that starts at the origin looking down +z.
+
+    The texture spans the plane region seen with margin; each frame is the
+    exact homography image of the texture for the ground-truth pose.
+    Returns SyntheticSequence.
+    """
+    rng = np.random.default_rng(seed + 1)
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]], np.float32)
+
+    # texture covers the plane patch visible from the start pose, scaled up
+    tex_h, tex_w = h * tex_scale, w * tex_scale
+    tex = make_texture(tex_h, tex_w, seed=seed, n_shapes=600 * tex_scale)
+    # world->texture-pixel mapping: the plane point (X, Y, plane_z) maps to
+    # texture pixel (X * s + tex_w/2, Y * s + tex_h/2)
+    span_x = plane_z * w / fx * 2.2  # world width covered by the texture
+    s = tex_w / span_x
+
+    import jax.numpy as jnp
+
+    poses = []
+    images = np.zeros((num_frames, h, w), np.float32)
+    for t in range(num_frames):
+        tt = t / max(num_frames - 1, 1)
+        if motion == "orbit":
+            xi = np.array(
+                [0.6 * np.sin(2 * np.pi * tt), 0.3 * (1 - np.cos(2 * np.pi * tt)),
+                 0.35 * np.sin(np.pi * tt),
+                 0.04 * np.sin(2 * np.pi * tt), 0.06 * np.sin(2 * np.pi * tt), 0.03 * tt],
+                np.float32,
+            )
+        elif motion == "forward":
+            xi = np.array([0.05 * t, 0.0, 0.08 * t, 0.0, 0.0, 0.0], np.float32)
+        else:  # translate
+            xi = np.array([0.08 * t, 0.02 * t, 0.0, 0.0, 0.0, 0.0], np.float32)
+        T_wc = se3_exp(jnp.asarray(xi))  # camera-to-world
+        poses.append(SE3(np.asarray(T_wc.R), np.asarray(T_wc.t)))
+
+        # homography texture->image for this pose:
+        # world plane point P(u_t) = [ (u_t - c)/s , plane on z=plane_z ]
+        # p_cam = R_cw (P - t_wc);  uv = K p_cam
+        R_cw = np.asarray(T_wc.R).T
+        t_wc = np.asarray(T_wc.t)
+        # columns for X, Y and the constant term (z=plane_z)
+        A = np.zeros((3, 3))
+        A[:, 0] = R_cw[:, 0]
+        A[:, 1] = R_cw[:, 1]
+        A[:, 2] = R_cw @ (np.array([0, 0, plane_z]) - t_wc)
+        H_world2img = K @ A  # maps [X, Y, 1] -> image
+        # texture pixel -> world X,Y:  X = (tx - tex_w/2)/s
+        T_tex2world = np.array(
+            [[1 / s, 0, -tex_w / (2 * s)], [0, 1 / s, -tex_h / (2 * s)], [0, 0, 1]]
+        )
+        H_tex2img = H_world2img @ T_tex2world
+        images[t] = warp_homography(tex, H_tex2img, out_shape=(h, w))
+
+    return SyntheticSequence(images=images, poses_wc=poses, K=K, plane_z=plane_z)

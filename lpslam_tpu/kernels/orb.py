@@ -1,0 +1,199 @@
+"""ORB feature extraction: oriented FAST + rotated BRIEF, TPU-native.
+
+Design notes (vs the reference engine's CPU ORB):
+- Orientation is computed with two whole-image moment convolutions
+  (m10 = I * x-mask, m01 = I * y-mask over a radius-15 disc) followed by a
+  2-value gather per keypoint — instead of per-keypoint patch loops. Convs
+  are MXU/VPU work; the gather is tiny.
+- rBRIEF uses a fixed 256-pair sampling pattern (deterministic Gaussian
+  pattern, max radius 13 so any rotation stays inside the 16-px border) on
+  the Gaussian-blurred level image; sampling is one gather of 2*256 taps per
+  keypoint; bit packing is a (8,32) reshape + shift-or reduction.
+- The keypoint budget is split across pyramid levels geometrically
+  (factor 1/scale per level), like the reference engine's per-level
+  distribution of max_num_keypoints=1200 (scale 1.2, levels 3 —
+  /root/reference/src/Trackers/OpenVSLAMTrackerBase.cpp:193-198).
+
+Everything is static-shape: exactly ``num_keypoints`` slots come back, with a
+validity mask — the fixed-capacity discipline that keeps XLA recompiles away.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .pyramid import build_pyramid, gaussian_blur, pyramid_shapes
+from .fast import fast_score, nms3x3, select_topk_grid
+
+EDGE_MARGIN = 16  # keypoints closer than this to a level border are dropped
+PATCH_RADIUS = 15  # orientation disc radius
+
+
+class OrbParams(NamedTuple):
+    num_keypoints: int = 1024
+    num_levels: int = 3
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0
+    fast_min_threshold: float = 7.0
+    cell: int = 16  # grid cell for spatially-uniform selection (0 = global)
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity keypoint set (level-0 pixel coordinates)."""
+
+    xy: jnp.ndarray      # (N, 2) float32, level-0 pixels (x, y)
+    level: jnp.ndarray   # (N,) int32
+    angle: jnp.ndarray   # (N,) float32 radians
+    score: jnp.ndarray   # (N,) float32
+    desc: jnp.ndarray    # (N, 8) uint32 — 256-bit rBRIEF
+    valid: jnp.ndarray   # (N,) bool
+
+
+# ---------------------------------------------------------------------------
+# BRIEF sampling pattern: deterministic, generated once at import.
+# ---------------------------------------------------------------------------
+
+
+def _make_pattern(n_pairs: int = 256, radius: float = 13.0, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, radius / 2.0, size=(n_pairs, 2, 2))
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = np.minimum(1.0, radius / np.maximum(norm, 1e-9))
+    return (pts * scale).astype(np.float32)
+
+
+BRIEF_PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) (pair, point, xy)
+
+
+# ---------------------------------------------------------------------------
+# Orientation via moment convolutions
+# ---------------------------------------------------------------------------
+
+
+def _moment_kernels(radius: int = PATCH_RADIUS):
+    d = 2 * radius + 1
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    disc = (xs * xs + ys * ys) <= radius * radius
+    kx = (xs * disc).astype(np.float32)
+    ky = (ys * disc).astype(np.float32)
+    return jnp.asarray(kx.reshape(1, 1, d, d)), jnp.asarray(ky.reshape(1, 1, d, d))
+
+
+_KX, _KY = _moment_kernels()
+
+
+def orientation_maps(img):
+    """Whole-image intensity-centroid moments (m10, m01) per pixel."""
+    img4 = img[None, None]
+    m10 = jax.lax.conv_general_dilated(img4, _KX, (1, 1), "SAME")[0, 0]
+    m01 = jax.lax.conv_general_dilated(img4, _KY, (1, 1), "SAME")[0, 0]
+    return m10, m01
+
+
+# ---------------------------------------------------------------------------
+# BRIEF descriptor
+# ---------------------------------------------------------------------------
+
+_BIT_WEIGHTS = jnp.asarray((1 << np.arange(32)).astype(np.uint32))
+
+
+def steered_brief(blurred, xy, angle):
+    """Compute 256-bit steered BRIEF for keypoints on one level image.
+
+    blurred: (H, W) float32 (Gaussian-smoothed level image)
+    xy: (N, 2) float32 level-local pixel coords; angle: (N,) radians.
+    Returns (N, 8) uint32.
+    """
+    h, w = blurred.shape
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    R = jnp.stack(
+        [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], axis=-2
+    )  # (N, 2, 2)
+    # rotated sample positions: (N, 256, 2, 2)
+    rotated = jnp.einsum("nij,pqj->npqi", R, BRIEF_PATTERN)
+    pos = xy[:, None, None, :] + rotated
+    px = jnp.clip(jnp.round(pos[..., 0]).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(jnp.round(pos[..., 1]).astype(jnp.int32), 0, h - 1)
+    flat = blurred.reshape(-1)
+    vals = flat[py * w + px]  # (N, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (N, 256)
+    packed = jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# Full extraction
+# ---------------------------------------------------------------------------
+
+
+def _level_budgets(n: int, num_levels: int, scale: float):
+    wts = np.array([1.0 / scale**l for l in range(num_levels)])
+    wts = wts / wts.sum()
+    ks = [int(round(n * w)) for w in wts]
+    ks[0] += n - sum(ks)
+    return ks
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def extract_orb(img, params: OrbParams = OrbParams()) -> OrbFeatures:
+    """(H, W) float32 [0,255] image -> OrbFeatures with N = params.num_keypoints.
+
+    Two-pass thresholding like the reference (init threshold, then min
+    threshold — OpenVSLAMTrackerBase.cpp:197-198): scores are taken at the
+    high threshold and, where a grid cell yields nothing, low-threshold
+    corners still compete in the global top-k because both score maps are
+    blended (low-threshold scores are scaled down so high-threshold corners
+    always win when present).
+    """
+    levels = build_pyramid(img, params.num_levels, params.scale_factor)
+    budgets = _level_budgets(params.num_keypoints, params.num_levels, params.scale_factor)
+
+    feats = []
+    for lvl, (level_img, k_lvl) in enumerate(zip(levels, budgets)):
+        if k_lvl <= 0:
+            continue
+        score_hi, _ = fast_score(level_img, params.fast_threshold)
+        score_lo, _ = fast_score(level_img, params.fast_min_threshold)
+        # blend: high-threshold corners dominate, low-threshold fill in
+        lo_ceiling = 1e-3 / (1.0 + jnp.max(score_lo))
+        score = jnp.where(score_hi > 0, 1.0 + score_hi, score_lo * lo_ceiling)
+        score = nms3x3(score)
+        xy, sc, valid = select_topk_grid(
+            score, k_lvl, cell=params.cell, border=EDGE_MARGIN
+        )
+
+        blurred = gaussian_blur(level_img, sigma=2.0, radius=3)
+        m10_map, m01_map = orientation_maps(blurred)
+        h, w = level_img.shape
+        xi = xy[:, 0].astype(jnp.int32)
+        yi = xy[:, 1].astype(jnp.int32)
+        m10 = m10_map.reshape(-1)[yi * w + xi]
+        m01 = m01_map.reshape(-1)[yi * w + xi]
+        angle = jnp.arctan2(m01, m10)
+
+        desc = steered_brief(blurred, xy, angle)
+
+        scale_l = jnp.float32(params.scale_factor**lvl)
+        feats.append(
+            OrbFeatures(
+                xy=xy * scale_l,
+                level=jnp.full((k_lvl,), lvl, jnp.int32),
+                angle=angle,
+                score=sc,
+                desc=desc,
+                valid=valid,
+            )
+        )
+
+    return OrbFeatures(
+        xy=jnp.concatenate([f.xy for f in feats]),
+        level=jnp.concatenate([f.level for f in feats]),
+        angle=jnp.concatenate([f.angle for f in feats]),
+        score=jnp.concatenate([f.score for f in feats]),
+        desc=jnp.concatenate([f.desc for f in feats]),
+        valid=jnp.concatenate([f.valid for f in feats]),
+    )

@@ -1,0 +1,64 @@
+"""Image pyramid + Gaussian smoothing, TPU-native.
+
+The reference's engine builds an ORB scale pyramid (scale_factor 1.2,
+num_levels from config — /root/reference/src/Trackers/OpenVSLAMTrackerBase.cpp:194-198)
+with per-level FAST extraction. Here the pyramid is a tuple of static-shape
+float32 arrays; every op is fusable elementwise/conv work for the VPU/MXU.
+
+Images are float32 in [0, 255] (converted once at ingest).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def pyramid_shapes(h: int, w: int, num_levels: int, scale_factor: float):
+    """Static per-level (h, w) — python ints so shapes stay compile-time."""
+    shapes = []
+    for lvl in range(num_levels):
+        s = scale_factor**lvl
+        shapes.append((max(int(round(h / s)), 16), max(int(round(w / s)), 16)))
+    return shapes
+
+
+def gaussian_kernel1d(sigma: float, radius: int):
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
+    """Separable Gaussian blur on a (H, W) image. Edge-replicate padding.
+
+    Matches the role of the 7x7 blur ORB applies before BRIEF sampling.
+    """
+    k = gaussian_kernel1d(sigma, radius)
+    img4 = img[None, None, :, :]
+    kh = k.reshape(1, 1, -1, 1)
+    kw = k.reshape(1, 1, 1, -1)
+    pad_h = [(0, 0), (0, 0), (radius, radius), (0, 0)]
+    pad_w = [(0, 0), (0, 0), (0, 0), (radius, radius)]
+    x = jnp.pad(img4, pad_h, mode="edge")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jnp.pad(x, pad_w, mode="edge")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+    return x[0, 0]
+
+
+def _resize(img, shape):
+    return jax.image.resize(img, shape, method="linear")
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels", "scale_factor"))
+def build_pyramid(img, num_levels: int = 3, scale_factor: float = 1.2):
+    """(H, W) float32 -> tuple of per-level images (static shapes)."""
+    h, w = img.shape
+    shapes = pyramid_shapes(h, w, num_levels, scale_factor)
+    levels = [img]
+    for lvl in range(1, num_levels):
+        levels.append(_resize(levels[-1], shapes[lvl]))
+    return tuple(levels)
