@@ -1,0 +1,1 @@
+from .ba import bundle_adjust, BAProblem, BAResult, local_ba

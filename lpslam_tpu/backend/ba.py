@@ -1,0 +1,288 @@
+"""Bundle adjustment: Levenberg–Marquardt with Schur-complement reduction.
+
+This is the TPU-native replacement for g2o's sparse BA (the reference builds
+g2o with csparse for exactly this — /root/reference/conan-packages/g2o-conan/
+conanfile.py:118-126; the engine runs local BA in its mapping thread and
+global BA after loop closure).
+
+Design (dense-block, SURVEY.md §7 "Sparse BA on TPU"):
+- Observations live in the MapStore's natural layout: window cameras x
+  keypoint slots, each slot naming its landmark (or −1). No sparse indexing
+  structures — masks everywhere.
+- Per-camera 6x6 and per-landmark 3x3 Hessian blocks are batched einsums /
+  segment-sums; the camera-point coupling Hcp is a dense (C, P, 6, 3) scatter
+  (C is the small BA window, P the landmark capacity).
+- Schur: S = Hcc − Hcp Hpp⁻¹ Hpc contracted with one einsum chain; the
+  reduced (6C, 6C) system is solved with dense Cholesky on the MXU; point
+  updates back-substitute in closed form (batched 3x3 solves).
+- LM damping with accept/reject implemented branch-free (jnp.where on the
+  better iterate) — fixed iteration count, one fused XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3, se3_exp, se3_compose
+from ..geometry.so3 import hat
+from ..geometry.camera import PinholeCamera
+
+CHI2_2D = 5.991
+
+
+class BAProblem(NamedTuple):
+    """Dense masked BA problem.
+
+    cam_R: (C,3,3), cam_t: (C,3) — world->cam poses.
+    points: (P,3).
+    obs_lm: (C,N) int32 landmark index per camera keypoint slot (−1 = none).
+    obs_uv: (C,N,2) pixel measurements.
+    obs_sigma2: (C,N) measurement variance (keypoint level scale^2).
+    cam_fixed: (C,) bool — cameras held constant (gauge / out-of-window).
+    point_valid: (P,) bool.
+    """
+
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    points: jnp.ndarray
+    obs_lm: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_sigma2: jnp.ndarray
+    cam_fixed: jnp.ndarray
+    point_valid: jnp.ndarray
+
+
+class BAResult(NamedTuple):
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    points: jnp.ndarray
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    obs_inlier: jnp.ndarray  # (C,N) bool — final chi2 gate
+
+
+def _project_residuals(cam: PinholeCamera, R, t, points, obs_lm, obs_uv):
+    """r, J_cam, J_pt for every (camera, slot) observation. Shapes:
+    r (C,N,2), Jc (C,N,2,6), Jp (C,N,2,3), p_c (C,N,3)."""
+    p_w = points[jnp.maximum(obs_lm, 0)]          # (C,N,3)
+    p_c = jnp.einsum("cij,cnj->cni", R, p_w) + t[:, None, :]
+    z = jnp.maximum(p_c[..., 2], 1e-2)
+    u = cam.fx * p_c[..., 0] / z + cam.cx
+    v = cam.fy * p_c[..., 1] / z + cam.cy
+    r = jnp.stack([u, v], -1) - obs_uv
+
+    zinv = 1.0 / z
+    zinv2 = zinv * zinv
+    x, y = p_c[..., 0], p_c[..., 1]
+    zero = jnp.zeros_like(z)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([cam.fx * zinv, zero, -cam.fx * x * zinv2], -1),
+            jnp.stack([zero, cam.fy * zinv, -cam.fy * y * zinv2], -1),
+        ],
+        axis=-2,
+    )  # (C,N,2,3)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), p_c.shape + (3,))
+    Jse3 = jnp.concatenate([I3, -hat(p_c)], axis=-1)  # (C,N,3,6)
+    Jc = jnp.einsum("cnij,cnjk->cnik", Jproj, Jse3)
+    Jp = jnp.einsum("cnij,cjk->cnik", Jproj, R)  # d p_c/d p_w = R
+    return r, Jc, Jp, p_c
+
+
+def _cost_and_weights(r, sigma2, active):
+    chi2 = jnp.sum(r * r, -1) / sigma2
+    rn = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    delta = jnp.sqrt(CHI2_2D)
+    w = jnp.where(rn <= delta, 1.0, delta / rn) / sigma2
+    w = jnp.where(active, w, 0.0)
+    # Huber cost (so accept/reject uses the same robust objective)
+    huber = jnp.where(chi2 <= CHI2_2D, chi2, 2.0 * delta * rn - CHI2_2D)
+    cost = jnp.sum(jnp.where(active, huber, 0.0))
+    return cost, w
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    iters: int = 10,
+    lm_lambda0: float = 1e-4,
+) -> BAResult:
+    C, N = prob.obs_lm.shape
+    P = prob.points.shape[0]
+
+    active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
+    flat_lm = jnp.maximum(prob.obs_lm.reshape(-1), 0)
+
+    def step(carry, gate):
+        R, t, points, lam = carry
+        r, Jc, Jp, p_c = _project_residuals(cam, R, t, points, prob.obs_lm, prob.obs_uv)
+        active = active0 & gate & (p_c[..., 2] > 1e-2)
+        cost, w = _cost_and_weights(r, prob.obs_sigma2, active)
+        # zero out jacobians of fixed cameras
+        Jc = jnp.where(prob.cam_fixed[:, None, None, None], 0.0, Jc)
+
+        # block builds
+        Hcc = jnp.einsum("cnik,cn,cnil->ckl", Jc, w, Jc)            # (C,6,6)
+        bc = jnp.einsum("cnik,cn,cni->ck", Jc, w, r)                # (C,6)
+        JpTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jp, w, Jp)         # (C,N,3,3)
+        Hpp = jax.ops.segment_sum(
+            JpTJp.reshape(-1, 3, 3), flat_lm, num_segments=P
+        )
+        bp = jax.ops.segment_sum(
+            jnp.einsum("cnik,cn,cni->cnk", Jp, w, r).reshape(-1, 3),
+            flat_lm,
+            num_segments=P,
+        )
+        JcTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jc, w, Jp)         # (C,N,6,3)
+        # dense camera-point coupling: scatter (C,N,6,3) -> (C,P,6,3)
+        Hcp = jnp.zeros((C, P, 6, 3), r.dtype)
+        cam_rows = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1)
+        Hcp = Hcp.at[cam_rows, flat_lm].add(JcTJp.reshape(-1, 6, 3))
+
+        # damped point blocks and their inverses
+        lam_eye3 = lam * jnp.eye(3, dtype=r.dtype)
+        Hpp_d = Hpp + lam_eye3[None] + 1e-8 * jnp.eye(3, dtype=r.dtype)[None]
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        # f32 safety: a degenerate block (e.g. a point collapsing onto a
+        # camera) must not poison the Schur contraction — freeze it instead
+        Hpp_inv = jnp.where(
+            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
+            Hpp_inv,
+            0.0,
+        )
+
+        # Schur complement on cameras
+        S = jnp.zeros((C, 6, C, 6), r.dtype)
+        S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
+        S = S - jnp.einsum("apij,pjk,bplk->aibl", Hcp, Hpp_inv, Hcp)
+        bS = bc - jnp.einsum("apij,pjk,pk->ai", Hcp, Hpp_inv, bp)
+
+        lam_eye = lam * jnp.eye(6 * C, dtype=r.dtype)
+        # fixed cameras: identity rows (their delta = 0 since b rows are 0)
+        Sm = S.reshape(6 * C, 6 * C) + lam_eye
+        fixed_diag = jnp.repeat(prob.cam_fixed, 6)
+        Sm = jnp.where(
+            fixed_diag[:, None] | fixed_diag[None, :],
+            jnp.eye(6 * C, dtype=r.dtype),
+            Sm,
+        )
+        bSm = jnp.where(fixed_diag, 0.0, bS.reshape(-1))
+        dc = -jnp.linalg.solve(Sm, bSm).reshape(C, 6)
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+
+        # back-substitute points: dp = -Hpp_inv (bp + Hpc dc)
+        Hpc_dc = jnp.einsum("apij,ai->pj", Hcp, dc)
+        dp = -jnp.einsum("pjk,pk->pj", Hpp_inv, bp + Hpc_dc)
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+
+        # tentative update
+        T_new = jax.vmap(lambda R_, t_, d: se3_compose(se3_exp(d), SE3(R_, t_)))(
+            R, t, dc
+        )
+        pts_new = points + dp
+        r2, _, _, p_c2 = _project_residuals(
+            cam, T_new.R, T_new.t, pts_new, prob.obs_lm, prob.obs_uv
+        )
+        active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
+        cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
+
+        accept = cost_new < cost
+        R = jnp.where(accept, T_new.R, R)
+        t = jnp.where(accept, T_new.t, t)
+        points = jnp.where(accept, pts_new, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-6, 1e3)
+        return (R, t, points, lam)
+
+    r0, _, _, pc0 = _project_residuals(
+        cam, prob.cam_R, prob.cam_t, prob.points, prob.obs_lm, prob.obs_uv
+    )
+    cost0, _ = _cost_and_weights(
+        r0, prob.obs_sigma2, active0 & (pc0[..., 2] > 1e-2)
+    )
+
+    # two-phase optimization like the engine's optimize → cull → re-optimize:
+    # phase 1 with every observation (Huber-weighted), then a hard chi2 cull,
+    # then phase 2 on the surviving observations only.
+    n1 = max(iters // 2, 1)
+    n2 = max(iters - n1, 1)
+    all_obs = jnp.ones_like(active0)
+    carry = (prob.cam_R, prob.cam_t, prob.points, jnp.float32(lm_lambda0))
+    carry = jax.lax.fori_loop(0, n1, lambda _, c: step(c, all_obs), carry)
+    R1, t1, pts1, _ = carry
+    r1, _, _, pc1 = _project_residuals(cam, R1, t1, pts1, prob.obs_lm, prob.obs_uv)
+    chi1 = jnp.sum(r1 * r1, -1) / prob.obs_sigma2
+    gate = (chi1 <= CHI2_2D * 4.0) & (pc1[..., 2] > 1e-2)
+    carry = (R1, t1, pts1, jnp.float32(lm_lambda0))
+    carry = jax.lax.fori_loop(0, n2, lambda _, c: step(c, gate), carry)
+    R, t, points, _ = carry
+
+    rf, _, _, pcf = _project_residuals(cam, R, t, points, prob.obs_lm, prob.obs_uv)
+    chi2 = jnp.sum(rf * rf, -1) / prob.obs_sigma2
+    inlier = active0 & (pcf[..., 2] > 1e-2) & (chi2 <= CHI2_2D)
+    costf, _ = _cost_and_weights(rf, prob.obs_sigma2, active0 & (pcf[..., 2] > 1e-2))
+    return BAResult(
+        cam_R=R, cam_t=t, points=points,
+        initial_cost=cost0, final_cost=costf, obs_inlier=inlier,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local BA over a MapStore window
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("window", "iters"))
+def local_ba(m, cam: PinholeCamera, window: int = 6, iters: int = 8):
+    """Optimize the last `window` keyframes + all landmarks they observe.
+
+    The two oldest window cameras are held fixed (pose + scale gauge for the
+    monocular case — the reference engine equivalently anchors local BA with
+    out-of-window keyframes). Returns an updated MapStore.
+    """
+    from ..mapstore.store import MapStore
+
+    K = m.kf_R.shape[0]
+    P = m.lm_pos.shape[0]
+    # window = last `window` valid keyframe slots: indices n_kf-window .. n_kf-1
+    base = jnp.maximum(m.n_kf - window, 0)
+    win_idx = jnp.clip(base + jnp.arange(window), 0, K - 1)
+    win_exists = (base + jnp.arange(window)) < m.n_kf
+
+    cam_R = m.kf_R[win_idx]
+    cam_t = m.kf_t[win_idx]
+    obs_lm = jnp.where(win_exists[:, None], m.kf_lm_idx[win_idx], -1)
+    obs_uv = m.kf_uv[win_idx]
+    obs_sigma2 = jnp.ones(obs_lm.shape, jnp.float32)
+    # keypoint validity folded into obs_lm (−1 where keypoint invalid/unassoc)
+    obs_lm = jnp.where(m.kf_kp_valid[win_idx], obs_lm, -1)
+
+    n_win = jnp.sum(win_exists.astype(jnp.int32))
+    # fix the two oldest present cameras
+    rank_in_win = jnp.arange(window)
+    cam_fixed = (rank_in_win < 2) | ~win_exists
+
+    prob = BAProblem(
+        cam_R=cam_R,
+        cam_t=cam_t,
+        points=m.lm_pos,
+        obs_lm=obs_lm,
+        obs_uv=obs_uv,
+        obs_sigma2=obs_sigma2,
+        cam_fixed=cam_fixed,
+        point_valid=m.lm_valid,
+    )
+    res = bundle_adjust(prob, cam, iters=iters)
+
+    # write back: only where the window slot exists
+    kf_R = m.kf_R.at[win_idx].set(
+        jnp.where(win_exists[:, None, None], res.cam_R, m.kf_R[win_idx])
+    )
+    kf_t = m.kf_t.at[win_idx].set(
+        jnp.where(win_exists[:, None], res.cam_t, m.kf_t[win_idx])
+    )
+    return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=res.points), res

@@ -1,0 +1,464 @@
+"""Monocular tracking frontend: the per-frame hot loop.
+
+Maps the reference's tracking path (OpenVSLAMTracker::processImage →
+feed_monocular_frame → [engine] ORB extract → match local map → pose-only BA →
+keyframe decision, /root/reference/src/Trackers/OpenVSLAMTracker.cpp:31-166)
+onto a TPU-native split:
+
+- device (jitted, static shapes): ORB extraction, landmark projection +
+  windowed matching, annealed pose-only GN, keyframe insertion with
+  triangulation — each one fused XLA program over the fixed-capacity MapStore.
+- host (this file's MonoTracker class): the tracker state machine
+  (NotInitialized / Initializing / Tracking / Lost — same states the reference
+  surfaces, OpenVSLAMTracker.cpp:129-140), constant-velocity prediction, and
+  keyframe policy from device-returned scalars. Host↔device traffic per frame
+  is one image up + a handful of scalars down.
+"""
+from __future__ import annotations
+
+import functools
+from enum import IntEnum
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3, se3_compose, se3_inverse
+from ..geometry.camera import PinholeCamera, project_pinhole
+from ..kernels.orb import OrbParams, OrbFeatures, extract_orb
+from ..kernels.match import match_mutual_nn, match_projected
+from ..mapstore.store import MapStore, MapConfig, empty_map, insert_keyframe_slots
+from .pose_opt import pose_only_optimize
+from .triangulate import triangulate_midpoint
+from .init2v import two_view_init_homography
+
+
+class TrackerStatus(IntEnum):
+    NOT_INITIALIZED = 0
+    INITIALIZING = 1
+    TRACKING = 2
+    LOST = 3
+
+
+class TrackerConfig(NamedTuple):
+    orb: OrbParams = OrbParams()
+    map_cfg: MapConfig = MapConfig()
+    match_radius: float = 25.0
+    match_radius_lost: float = 50.0
+    match_max_hamming: int = 80
+    min_inliers: int = 25
+    init_min_matches: int = 60
+    init_min_flow_px: float = 20.0  # median match displacement before trying init
+    kf_min_interval: int = 3
+    kf_max_interval: int = 5
+    kf_inlier_ratio: float = 0.85  # new KF when inliers < ratio * inliers@lastKF
+    tri_max_reproj_px: float = 4.0
+    tri_min_parallax_cos: float = 0.99998
+    tri_min_depth: float = 0.05
+    tri_max_depth: float = 1e4
+    local_ba_window: int = 6
+    local_ba_iters: int = 8
+    # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
+    # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
+    # (prediction error feeds match selection feeds the next pose): with gain
+    # g the per-frame error recursion is err' ≈ bias + k·(1+g)·err, so g must
+    # keep k(1+g) < 1. 0.5 is stable for ~30 fps sequences; fast platforms
+    # can raise it together with match_radius.
+    velocity_gain: float = 0.5
+
+
+class TrackResult(NamedTuple):
+    pose: SE3
+    n_inliers: jnp.ndarray
+    kp_lm_idx: jnp.ndarray     # (N,) landmark id per frame keypoint (-1 none)
+    n_visible: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Device steps
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "max_hamming"))
+def track_frame(
+    m: MapStore,
+    pose_pred: SE3,
+    cam: PinholeCamera,
+    feats: OrbFeatures,
+    radius: float,
+    max_hamming: int,
+) -> TrackResult:
+    """Project the map into the predicted view, match in windows, optimize."""
+    p_c = jnp.einsum("ij,nj->ni", pose_pred.R, m.lm_pos) + pose_pred.t
+    uv_pred = project_pinhole(cam, p_c)
+    h_margin = 0.0
+    visible = (
+        m.lm_valid
+        & (p_c[:, 2] > 1e-3)
+        & (uv_pred[:, 0] >= -h_margin)
+        & (uv_pred[:, 1] >= -h_margin)
+    )
+    idx, ok = match_projected(
+        m.lm_desc,
+        uv_pred,
+        visible,
+        feats.desc,
+        feats.xy,
+        feats.valid,
+        radius=radius,
+        max_distance=max_hamming,
+    )
+    uv_obs = feats.xy[idx]
+    sigma2 = jnp.float32(1.2) ** (2.0 * feats.level[idx].astype(jnp.float32))
+    res = pose_only_optimize(
+        pose_pred, cam, m.lm_pos, uv_obs, ok, sigma2=sigma2, iters=10
+    )
+    # second stage (the engine's track-local-map refine): re-project with the
+    # optimized pose, re-match in a tight window, re-optimize
+    p_c = jnp.einsum("ij,nj->ni", res.pose.R, m.lm_pos) + res.pose.t
+    uv_pred = project_pinhole(cam, p_c)
+    visible = m.lm_valid & (p_c[:, 2] > 1e-3)
+    idx, ok = match_projected(
+        m.lm_desc, uv_pred, visible, feats.desc, feats.xy, feats.valid,
+        radius=6.0, max_distance=max_hamming,
+    )
+    uv_obs = feats.xy[idx]
+    sigma2 = jnp.float32(1.2) ** (2.0 * feats.level[idx].astype(jnp.float32))
+    res = pose_only_optimize(
+        res.pose, cam, m.lm_pos, uv_obs, ok, sigma2=sigma2, iters=6
+    )
+    # invert association: frame keypoint -> landmark id
+    n_kp = feats.xy.shape[0]
+    lm_ids = jnp.arange(m.lm_pos.shape[0], dtype=jnp.int32)
+    kp_lm = jnp.full((n_kp,), -1, jnp.int32)
+    good = ok & res.inlier
+    kp_lm = kp_lm.at[jnp.where(good, idx, n_kp)].set(
+        jnp.where(good, lm_ids, -1), mode="drop"
+    )
+    return TrackResult(
+        pose=res.pose,
+        n_inliers=res.n_inliers,
+        kp_lm_idx=kp_lm,
+        n_visible=jnp.sum(visible).astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def insert_keyframe(
+    m: MapStore,
+    pose: SE3,
+    cam: PinholeCamera,
+    feats: OrbFeatures,
+    kp_lm_idx,
+    frame_id,
+    cfg: TrackerConfig,
+) -> MapStore:
+    """Write the current frame as a keyframe and triangulate new landmarks
+    against the previous keyframe (the mapping-thread capability of the
+    reference engine, executed inline as one fused device program)."""
+    ref = jnp.maximum(m.n_kf - 1, 0)
+    m = insert_keyframe_slots(
+        m, pose.R, pose.t, feats.xy, feats.desc, feats.valid, kp_lm_idx, frame_id
+    )
+    k_new = m.n_kf - 1
+
+    # --- match unassociated keypoints new <-> ref
+    new_unassoc = feats.valid & (kp_lm_idx < 0)
+    ref_unassoc = m.kf_kp_valid[ref] & (m.kf_lm_idx[ref] < 0)
+    idx_ref, ok = match_mutual_nn(
+        feats.desc,
+        m.kf_desc[ref],
+        new_unassoc,
+        ref_unassoc,
+        max_distance=cfg.match_max_hamming,
+        ratio=0.9,
+    )
+
+    T_ref = SE3(m.kf_R[ref], m.kf_t[ref])
+    uv_ref = m.kf_uv[ref][idx_ref]
+    pts, info = triangulate_midpoint(T_ref, pose, cam, uv_ref, feats.xy)
+
+    # quality gates
+    uv1_hat = project_pinhole(
+        cam, jnp.einsum("ij,nj->ni", T_ref.R, pts) + T_ref.t
+    )
+    uv2_hat = project_pinhole(cam, jnp.einsum("ij,nj->ni", pose.R, pts) + pose.t)
+    e1 = jnp.sum((uv1_hat - uv_ref) ** 2, -1)
+    e2 = jnp.sum((uv2_hat - feats.xy) ** 2, -1)
+    good = (
+        ok
+        & (info["z1"] > cfg.tri_min_depth)
+        & (info["z2"] > cfg.tri_min_depth)
+        & (info["z1"] < cfg.tri_max_depth)
+        & (info["z2"] < cfg.tri_max_depth)
+        & (info["cos_parallax"] < cfg.tri_min_parallax_cos)
+        & (e1 < cfg.tri_max_reproj_px**2)
+        & (e2 < cfg.tri_max_reproj_px**2)
+    )
+
+    # allocate landmark slots: n_lm + rank among good
+    M = m.lm_pos.shape[0]
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1
+    slot = jnp.where(good, m.n_lm + rank, M)
+    slot = jnp.where(slot < M, slot, M)  # M = dropped by scatter mode="drop"
+    n_new = jnp.sum((slot < M) & good).astype(jnp.int32)
+
+    lm_pos = m.lm_pos.at[slot].set(pts, mode="drop")
+    lm_desc = m.lm_desc.at[slot].set(feats.desc, mode="drop")
+    lm_valid = m.lm_valid.at[slot].set(True, mode="drop")
+    lm_n_obs = m.lm_n_obs.at[slot].set(2, mode="drop")
+    lm_first_kf = m.lm_first_kf.at[slot].set(k_new, mode="drop")
+
+    # associate both keyframes with the new landmarks
+    n_kp = feats.xy.shape[0]
+    slot_i32 = slot.astype(jnp.int32)
+    new_lm_for_kp = jnp.where((slot < M) & good, slot_i32, -1)
+    kf_lm_new = jnp.where(new_lm_for_kp >= 0, new_lm_for_kp, m.kf_lm_idx[k_new])
+    # ref keyframe: scatter at idx_ref positions
+    ref_rows = jnp.where((slot < M) & good, idx_ref, n_kp)
+    kf_lm_ref = m.kf_lm_idx[ref].at[ref_rows].set(
+        jnp.where((slot < M) & good, slot_i32, -1), mode="drop"
+    )
+
+    kf_lm_idx_all = m.kf_lm_idx.at[k_new].set(kf_lm_new)
+    kf_lm_idx_all = kf_lm_idx_all.at[ref].set(kf_lm_ref)
+
+    return m._replace(
+        lm_pos=lm_pos,
+        lm_desc=lm_desc,
+        lm_valid=lm_valid,
+        lm_n_obs=lm_n_obs,
+        lm_first_kf=lm_first_kf,
+        kf_lm_idx=kf_lm_idx_all,
+        n_lm=jnp.minimum(m.n_lm + n_new, M),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _extract(img, params: OrbParams):
+    return extract_orb(img, params)
+
+
+# ---------------------------------------------------------------------------
+# Host state machine
+# ---------------------------------------------------------------------------
+
+
+class MonoTracker:
+    """Host-side orchestration of the device tracking steps.
+
+    Mirrors the reference tracker's lifecycle: feed frames, observe
+    NotInitialized → Initializing → Tracking (→ Lost), read back poses.
+    """
+
+    def __init__(self, cam: PinholeCamera, cfg: TrackerConfig = TrackerConfig()):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = empty_map(cfg.map_cfg)
+        self.status = TrackerStatus.NOT_INITIALIZED
+        self.pose = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        self.velocity = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        self.frame_id = 0
+        self.last_kf_frame = -(10**9)
+        self.inliers_at_last_kf = 1
+        self._init_feats: Optional[OrbFeatures] = None
+        self._init_frame_id = -1
+        self.trajectory: list = []  # (frame_id, SE3 Tcw, status)
+
+    # -- internal helpers ---------------------------------------------------
+
+    def _extract(self, image) -> OrbFeatures:
+        img = jnp.asarray(image, jnp.float32)
+        return _extract(img, self.cfg.orb)
+
+    def _try_initialize(self, feats: OrbFeatures) -> bool:
+        f0 = self._init_feats
+        idx, ok = match_mutual_nn(
+            f0.desc, feats.desc, f0.valid, feats.valid,
+            max_distance=self.cfg.match_max_hamming, ratio=0.85,
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < self.cfg.init_min_matches:
+            return False
+        uv1 = f0.xy
+        uv2 = feats.xy[idx]
+        # require real baseline before attempting reconstruction: a near-zero
+        # parallax homography decomposes into garbage (d1≈d2≈d3 degenerate)
+        flow = jnp.linalg.norm(uv2 - uv1, axis=-1)
+        okf = np.asarray(ok)
+        med_flow = float(np.median(np.asarray(flow)[okf])) if okf.any() else 0.0
+        if med_flow < self.cfg.init_min_flow_px:
+            return False
+        res = two_view_init_homography(self.cam, uv1, uv2, ok)
+        if not bool(res.ok):
+            return False
+
+        R2 = res.T2cw[:9].reshape(3, 3)
+        t2 = res.T2cw[9:]
+        T2 = SE3(R2, t2)
+        T1 = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+
+        # build the map: two keyframes + triangulated landmarks
+        m = empty_map(self.cfg.map_cfg)
+        point_ok = res.point_ok
+        Mcap = m.lm_pos.shape[0]
+        rank = jnp.cumsum(point_ok.astype(jnp.int32)) - 1
+        slot = jnp.where(point_ok, rank, Mcap)
+        n_new = int(jnp.sum(point_ok))
+
+        m = m._replace(
+            lm_pos=m.lm_pos.at[slot].set(res.points, mode="drop"),
+            lm_desc=m.lm_desc.at[slot].set(f0.desc, mode="drop"),
+            lm_valid=m.lm_valid.at[slot].set(True, mode="drop"),
+            lm_n_obs=m.lm_n_obs.at[slot].set(2, mode="drop"),
+            lm_first_kf=m.lm_first_kf.at[slot].set(0, mode="drop"),
+            n_lm=jnp.int32(n_new),
+        )
+        slot_i32 = slot.astype(jnp.int32)
+        lm_idx_kf0 = jnp.where(point_ok, slot_i32, -1)
+        # keyframe 0 (reference frame of the init pair)
+        m = insert_keyframe_slots(
+            m, T1.R, T1.t, f0.xy, f0.desc, f0.valid, lm_idx_kf0, self._init_frame_id
+        )
+        # keyframe 1 (current): landmark j observed at feats slot idx[j]
+        n_kp = feats.xy.shape[0]
+        rows = jnp.where(point_ok, idx, n_kp)
+        lm_idx_kf1 = jnp.full((n_kp,), -1, jnp.int32).at[rows].set(
+            jnp.where(point_ok, slot_i32, -1), mode="drop"
+        )
+        m = insert_keyframe_slots(
+            m, T2.R, T2.t, feats.xy, feats.desc, feats.valid, lm_idx_kf1, self.frame_id
+        )
+
+        # polish the bootstrap geometry with a two-view BA (cam0 fixed,
+        # cam1 + points free), then restore the |t|=1 scale gauge — the init
+        # bias otherwise gets locked in as the BA gauge anchor forever
+        from ..backend.ba import bundle_adjust, BAProblem
+
+        prob = BAProblem(
+            cam_R=m.kf_R[:2],
+            cam_t=m.kf_t[:2],
+            points=m.lm_pos,
+            obs_lm=jnp.where(m.kf_kp_valid[:2], m.kf_lm_idx[:2], -1),
+            obs_uv=m.kf_uv[:2],
+            obs_sigma2=jnp.ones(m.kf_lm_idx[:2].shape, jnp.float32),
+            cam_fixed=jnp.asarray([True, False]),
+            point_valid=m.lm_valid,
+        )
+        bres = bundle_adjust(prob, self.cam, iters=12)
+        scale = 1.0 / jnp.maximum(jnp.linalg.norm(bres.cam_t[1]), 1e-9)
+        m = m._replace(
+            kf_R=m.kf_R.at[1].set(bres.cam_R[1]),
+            kf_t=m.kf_t.at[:2].set(bres.cam_t[:2] * scale),
+            lm_pos=jnp.where(m.lm_valid[:, None], bres.points * scale, m.lm_pos),
+        )
+        T2 = SE3(m.kf_R[1], m.kf_t[1])
+
+        self.map = m
+        self.pose = T2
+        self.velocity = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        self.last_kf_frame = self.frame_id
+        self.inliers_at_last_kf = max(n_new, 1)
+        return True
+
+    def _keyframe_needed(self, n_inliers: int) -> bool:
+        since = self.frame_id - self.last_kf_frame
+        if since < self.cfg.kf_min_interval:
+            return False
+        if since >= self.cfg.kf_max_interval:
+            return True
+        return n_inliers < self.cfg.kf_inlier_ratio * self.inliers_at_last_kf
+
+    # -- public API ---------------------------------------------------------
+
+    def process(self, image) -> tuple:
+        """Feed one frame. Returns (status, pose Tcw as SE3|None)."""
+        feats = self._extract(image)
+        st = self.status
+
+        if st == TrackerStatus.NOT_INITIALIZED:
+            self._init_feats = feats
+            self._init_frame_id = self.frame_id
+            self.status = TrackerStatus.INITIALIZING
+            self._record(None)
+        elif st == TrackerStatus.INITIALIZING:
+            if self._try_initialize(feats):
+                self.status = TrackerStatus.TRACKING
+                self._record(self.pose)
+            else:
+                # periodically re-anchor the reference frame like the engine's
+                # initializer reset
+                if self.frame_id - self._init_frame_id > 20:
+                    self._init_feats = feats
+                    self._init_frame_id = self.frame_id
+                self._record(None)
+        else:  # TRACKING or LOST
+            lost = st == TrackerStatus.LOST
+            pred = self.pose if lost else se3_compose(self.velocity, self.pose)
+            radius = self.cfg.match_radius_lost if lost else self.cfg.match_radius
+            tr = track_frame(
+                self.map, pred, self.cam, feats, radius, self.cfg.match_max_hamming
+            )
+            n_inl = int(tr.n_inliers)
+            if n_inl >= self.cfg.min_inliers:
+                prev_pose = self.pose
+                self.pose = tr.pose
+                from ..geometry.se3 import se3_exp, se3_log
+
+                v_meas = se3_compose(tr.pose, se3_inverse(prev_pose))
+                self.velocity = se3_exp(
+                    self.cfg.velocity_gain * se3_log(v_meas)
+                )
+                self.status = TrackerStatus.TRACKING
+                if self._keyframe_needed(n_inl):
+                    if int(self.map.n_kf) < self.cfg.map_cfg.max_keyframes:
+                        self.map = insert_keyframe(
+                            self.map, self.pose, self.cam, feats,
+                            tr.kp_lm_idx, self.frame_id, self.cfg,
+                        )
+                        if self.cfg.local_ba_window > 0:
+                            from ..backend.ba import local_ba
+
+                            self.map, _ = local_ba(
+                                self.map, self.cam,
+                                window=self.cfg.local_ba_window,
+                                iters=self.cfg.local_ba_iters,
+                            )
+                            # the newest keyframe IS the current frame — adopt
+                            # its BA-refined pose
+                            k = self.map.n_kf - 1
+                            self.pose = SE3(self.map.kf_R[k], self.map.kf_t[k])
+                        self.last_kf_frame = self.frame_id
+                        self.inliers_at_last_kf = max(n_inl, 1)
+                self._record(self.pose)
+            else:
+                self.status = TrackerStatus.LOST
+                self.velocity = SE3(
+                    jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+                )
+                self._record(None)
+
+        self.frame_id += 1
+        return self.status, (
+            self.pose if self.status == TrackerStatus.TRACKING else None
+        )
+
+    def _record(self, pose):
+        self.trajectory.append(
+            (
+                self.frame_id,
+                None
+                if pose is None
+                else SE3(np.asarray(pose.R), np.asarray(pose.t)),
+                self.status,
+            )
+        )
+
+    @property
+    def n_landmarks(self) -> int:
+        return int(self.map.n_lm)
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.map.n_kf)
