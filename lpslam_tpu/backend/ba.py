@@ -205,20 +205,28 @@ def bundle_adjust(
         r0, prob.obs_sigma2, active0 & (pc0[..., 2] > 1e-2)
     )
 
-    # two-phase optimization like the engine's optimize → cull → re-optimize:
-    # phase 1 with every observation (Huber-weighted), then a hard chi2 cull,
-    # then phase 2 on the surviving observations only.
-    n1 = max(iters // 2, 1)
-    n2 = max(iters - n1, 1)
+    # staged optimization like the engine's repeated optimize → cull rounds:
+    # every observation first (Huber-weighted), then progressively tighter
+    # hard chi2 culls recomputed from the current estimate.
+    n1 = max(iters // 3, 1)
+    n2 = max(iters // 3, 1)
+    n3 = max(iters - n1 - n2, 1)
     all_obs = jnp.ones_like(active0)
     carry = (prob.cam_R, prob.cam_t, prob.points, jnp.float32(lm_lambda0))
     carry = jax.lax.fori_loop(0, n1, lambda _, c: step(c, all_obs), carry)
-    R1, t1, pts1, _ = carry
-    r1, _, _, pc1 = _project_residuals(cam, R1, t1, pts1, prob.obs_lm, prob.obs_uv)
-    chi1 = jnp.sum(r1 * r1, -1) / prob.obs_sigma2
-    gate = (chi1 <= CHI2_2D * 4.0) & (pc1[..., 2] > 1e-2)
-    carry = (R1, t1, pts1, jnp.float32(lm_lambda0))
+
+    def cull(carry, mult):
+        R_, t_, pts_, _ = carry
+        r_, _, _, pc_ = _project_residuals(cam, R_, t_, pts_, prob.obs_lm, prob.obs_uv)
+        chi = jnp.sum(r_ * r_, -1) / prob.obs_sigma2
+        return (chi <= CHI2_2D * mult) & (pc_[..., 2] > 1e-2)
+
+    gate = cull(carry, 4.0)
+    carry = (carry[0], carry[1], carry[2], jnp.float32(lm_lambda0))
     carry = jax.lax.fori_loop(0, n2, lambda _, c: step(c, gate), carry)
+    gate = gate & cull(carry, 1.5)
+    carry = (carry[0], carry[1], carry[2], jnp.float32(lm_lambda0))
+    carry = jax.lax.fori_loop(0, n3, lambda _, c: step(c, gate), carry)
     R, t, points, _ = carry
 
     rf, _, _, pcf = _project_residuals(cam, R, t, points, prob.obs_lm, prob.obs_uv)

@@ -268,11 +268,15 @@ class MonoTracker:
 
     # -- internal helpers ---------------------------------------------------
 
+    # Monocular init needs two frames with baseline; depth-capable trackers
+    # (stereo / RGB-D subclasses) bootstrap from a single frame.
+    _needs_two_frames = True
+
     def _extract(self, image) -> OrbFeatures:
         img = jnp.asarray(image, jnp.float32)
         return _extract(img, self.cfg.orb)
 
-    def _try_initialize(self, feats: OrbFeatures) -> bool:
+    def _try_initialize(self, feats: OrbFeatures, aux=None) -> bool:
         f0 = self._init_feats
         idx, ok = match_mutual_nn(
             f0.desc, feats.desc, f0.valid, feats.valid,
@@ -372,18 +376,29 @@ class MonoTracker:
 
     # -- public API ---------------------------------------------------------
 
-    def process(self, image) -> tuple:
-        """Feed one frame. Returns (status, pose Tcw as SE3|None)."""
+    def process(self, image, aux=None) -> tuple:
+        """Feed one frame. Returns (status, pose Tcw as SE3|None).
+
+        aux: sensor-specific extra input (right image for stereo, depth map
+        for RGB-D) — unused by the monocular tracker.
+        """
         feats = self._extract(image)
         st = self.status
 
         if st == TrackerStatus.NOT_INITIALIZED:
-            self._init_feats = feats
-            self._init_frame_id = self.frame_id
-            self.status = TrackerStatus.INITIALIZING
-            self._record(None)
+            if self._needs_two_frames:
+                self._init_feats = feats
+                self._init_frame_id = self.frame_id
+                self.status = TrackerStatus.INITIALIZING
+                self._record(None)
+            else:
+                if self._try_initialize(feats, aux):
+                    self.status = TrackerStatus.TRACKING
+                    self._record(self.pose)
+                else:
+                    self._record(None)
         elif st == TrackerStatus.INITIALIZING:
-            if self._try_initialize(feats):
+            if self._try_initialize(feats, aux):
                 self.status = TrackerStatus.TRACKING
                 self._record(self.pose)
             else:
@@ -413,10 +428,7 @@ class MonoTracker:
                 self.status = TrackerStatus.TRACKING
                 if self._keyframe_needed(n_inl):
                     if int(self.map.n_kf) < self.cfg.map_cfg.max_keyframes:
-                        self.map = insert_keyframe(
-                            self.map, self.pose, self.cam, feats,
-                            tr.kp_lm_idx, self.frame_id, self.cfg,
-                        )
+                        self._do_insert_keyframe(feats, tr, aux)
                         if self.cfg.local_ba_window > 0:
                             from ..backend.ba import local_ba
 
@@ -442,6 +454,12 @@ class MonoTracker:
         self.frame_id += 1
         return self.status, (
             self.pose if self.status == TrackerStatus.TRACKING else None
+        )
+
+    def _do_insert_keyframe(self, feats, tr, aux):
+        self.map = insert_keyframe(
+            self.map, self.pose, self.cam, feats,
+            tr.kp_lm_idx, self.frame_id, self.cfg,
         )
 
     def _record(self, pose):

@@ -73,6 +73,9 @@ class SyntheticSequence(NamedTuple):
     poses_wc: list            # list of SE3 (camera-to-world), numpy-backed
     K: np.ndarray             # (3, 3) intrinsics
     plane_z: float            # scene plane depth in world frame
+    images_r: np.ndarray = None   # (T, H, W) right-eye images (stereo mode)
+    depths: np.ndarray = None     # (T, H, W) metric depth maps (RGB-D mode)
+    baseline: float = 0.0
 
 
 def make_sequence(
@@ -84,6 +87,8 @@ def make_sequence(
     fx: float = 460.0,
     plane_z: float = 5.0,
     tex_scale: int = 4,
+    stereo_baseline: float = 0.0,
+    with_depth: bool = False,
 ):
     """Render a sequence of a textured plane z=plane_z (world units) from a
     camera that starts at the origin looking down +z.
@@ -107,6 +112,9 @@ def make_sequence(
 
     poses = []
     images = np.zeros((num_frames, h, w), np.float32)
+    images_r = np.zeros((num_frames, h, w), np.float32) if stereo_baseline else None
+    depths = np.zeros((num_frames, h, w), np.float32) if with_depth else None
+    T_tex2world = None
     for t in range(num_frames):
         tt = t / max(num_frames - 1, 1)
         if motion == "orbit":
@@ -126,19 +134,39 @@ def make_sequence(
         # homography texture->image for this pose:
         # world plane point P(u_t) = [ (u_t - c)/s , plane on z=plane_z ]
         # p_cam = R_cw (P - t_wc);  uv = K p_cam
-        R_cw = np.asarray(T_wc.R).T
-        t_wc = np.asarray(T_wc.t)
-        # columns for X, Y and the constant term (z=plane_z)
-        A = np.zeros((3, 3))
-        A[:, 0] = R_cw[:, 0]
-        A[:, 1] = R_cw[:, 1]
-        A[:, 2] = R_cw @ (np.array([0, 0, plane_z]) - t_wc)
-        H_world2img = K @ A  # maps [X, Y, 1] -> image
         # texture pixel -> world X,Y:  X = (tx - tex_w/2)/s
         T_tex2world = np.array(
             [[1 / s, 0, -tex_w / (2 * s)], [0, 1 / s, -tex_h / (2 * s)], [0, 0, 1]]
         )
-        H_tex2img = H_world2img @ T_tex2world
-        images[t] = warp_homography(tex, H_tex2img, out_shape=(h, w))
 
-    return SyntheticSequence(images=images, poses_wc=poses, K=K, plane_z=plane_z)
+        def render(R_wc, t_wc_vec):
+            R_cw = R_wc.T
+            A = np.zeros((3, 3))
+            A[:, 0] = R_cw[:, 0]
+            A[:, 1] = R_cw[:, 1]
+            A[:, 2] = R_cw @ (np.array([0, 0, plane_z]) - t_wc_vec)
+            H_tex2img = (K @ A) @ T_tex2world
+            return warp_homography(tex, H_tex2img, out_shape=(h, w))
+
+        R_wc = np.asarray(T_wc.R)
+        t_wc = np.asarray(T_wc.t)
+        images[t] = render(R_wc, t_wc)
+        if stereo_baseline:
+            # right camera: shifted along the left camera's +x axis
+            images_r[t] = render(R_wc, t_wc + R_wc @ np.array([stereo_baseline, 0, 0]))
+        if with_depth:
+            # exact per-pixel depth of the plane: p_cam = s_ray * [x, y, 1],
+            # depth = s_ray solves (R_wc ray)_z * s = plane_z - t_z
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+            rays = np.stack(
+                [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)],
+                axis=-1,
+            )
+            d_w = rays @ R_wc.T  # world direction per pixel
+            s_ray = (plane_z - t_wc[2]) / np.maximum(d_w[..., 2], 1e-9)
+            depths[t] = s_ray.astype(np.float32)
+
+    return SyntheticSequence(
+        images=images, poses_wc=poses, K=K, plane_z=plane_z,
+        images_r=images_r, depths=depths, baseline=stereo_baseline,
+    )

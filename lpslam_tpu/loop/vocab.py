@@ -1,0 +1,115 @@
+"""Bag-of-binary-words vocabulary — the DBoW2 capability, TPU-shaped.
+
+The reference stack scores place-recognition candidates with a DBoW2 ORB
+vocabulary tree (vocab file `orb_vocab.dbow2`,
+/root/reference/src/Trackers/OpenVSLAMTrackerBase.h:88; dep recipe
+/root/reference/conan-packages/dbow2-conan/conanfile.py). A CPU tree walk is
+pointer-chasing; on TPU a FLAT vocabulary is faster and simpler: W binary
+centroids resident in HBM, word assignment = one {-1,+1} int8 matmul on the
+MXU (argmax similarity == argmin Hamming), BoW vectors are dense (W,) tf-idf
+arrays, and keyframe-database queries are a single matvec.
+
+The vocabulary is trained with k-majority (binary k-means): assignment on the
+MXU, centroid update by per-bit majority vote — all jitted.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..kernels.match import _unpack_pm1, BITS
+
+
+class Vocabulary(NamedTuple):
+    words: jnp.ndarray      # (W, 8) uint32 binary centroids
+    words_pm1: jnp.ndarray  # (W, 256) int8 — matmul-ready unpacked form
+    idf: jnp.ndarray        # (W,) float32 inverse-document-frequency weights
+
+
+def _pack_bits(bits):
+    """(N, 256) {0,1} -> (N, 8) uint32."""
+    w = jnp.asarray((1 << np.arange(32)).astype(np.uint32))
+    return jnp.sum(
+        bits.reshape(-1, 8, 32).astype(jnp.uint32) * w, axis=-1, dtype=jnp.uint32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "iters"))
+def _kmajority(desc_pm1, n_words: int, iters: int, seed):
+    """Binary k-means: centers as +-1 vectors, majority-vote updates."""
+    n = desc_pm1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (n_words,), replace=False)
+    centers = desc_pm1[init_idx].astype(jnp.float32)  # (W, 256) in [-1, 1]
+
+    def step(centers, _):
+        sim = jnp.dot(
+            desc_pm1.astype(jnp.float32), centers.T,
+            preferred_element_type=jnp.float32,
+        )  # (N, W)
+        assign = jnp.argmax(sim, axis=1)
+        onehot = jax.nn.one_hot(assign, n_words, dtype=jnp.float32)  # (N, W)
+        sums = onehot.T @ desc_pm1.astype(jnp.float32)               # (W, 256)
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new_centers = jnp.where(counts > 0, jnp.sign(sums), centers)
+        new_centers = jnp.where(new_centers == 0, 1.0, new_centers)
+        return new_centers, None
+
+    centers, _ = jax.lax.scan(step, centers, None, length=iters)
+    return centers
+
+
+def train_vocabulary(descriptors, n_words: int = 1024, iters: int = 8, seed: int = 0):
+    """descriptors: (N, 8) uint32 training set -> Vocabulary.
+
+    idf is computed treating each training descriptor as one 'document
+    sample'; callers may re-estimate from keyframes later.
+    """
+    pm1 = _unpack_pm1(jnp.asarray(descriptors))
+    centers = _kmajority(pm1, n_words, iters, seed)
+    bits = (centers > 0).astype(jnp.uint32)
+    words = _pack_bits(bits)
+    words_pm1 = centers.astype(jnp.int8)
+    # document frequency over the training set
+    sim = jnp.dot(
+        pm1.astype(jnp.float32), centers.T, preferred_element_type=jnp.float32
+    )
+    assign = jnp.argmax(sim, axis=1)
+    df = jnp.zeros((n_words,), jnp.float32).at[assign].add(1.0)
+    n = descriptors.shape[0]
+    idf = jnp.log(jnp.maximum(n / jnp.maximum(df, 1.0), 1.0))
+    return Vocabulary(words=words, words_pm1=words_pm1, idf=idf)
+
+
+def assign_words(vocab: Vocabulary, desc, valid=None):
+    """(N,8) descriptors -> (N,) word ids (argmin Hamming via MXU matmul)."""
+    pm1 = _unpack_pm1(desc)
+    sim = jax.lax.dot_general(
+        pm1, vocab.words_pm1,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ids = jnp.argmax(sim, axis=1).astype(jnp.int32)
+    if valid is not None:
+        ids = jnp.where(valid, ids, -1)
+    return ids
+
+
+def bow_vector(vocab: Vocabulary, desc, valid):
+    """tf-idf BoW vector (W,) float32, L2-normalized."""
+    ids = assign_words(vocab, desc, valid)
+    W = vocab.words.shape[0]
+    tf = jnp.zeros((W,), jnp.float32).at[jnp.maximum(ids, 0)].add(
+        valid.astype(jnp.float32)
+    )
+    v = tf * vocab.idf
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def bow_similarity(query_vec, db_vecs):
+    """Cosine similarity of one query against a (K, W) database: one matvec."""
+    return db_vecs @ query_vec

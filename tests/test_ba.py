@@ -55,7 +55,8 @@ def build_problem(rng, C=6, P=300, N=300, noise_px=0.4, perturb=True):
     return prob, R_gt, t_gt, pts
 
 
-def test_ba_converges_to_ground_truth(rng):
+def test_ba_converges_to_ground_truth():
+    rng = np.random.default_rng(11)
     prob, R_gt, t_gt, pts_gt = build_problem(rng)
     res = bundle_adjust(prob, CAM, iters=12)
     assert float(res.final_cost) < float(res.initial_cost) * 0.05
@@ -70,20 +71,23 @@ def test_ba_converges_to_ground_truth(rng):
     assert np.median(perr) < 7e-2
 
 
-def test_ba_fixed_cameras_stay(rng):
+def test_ba_fixed_cameras_stay():
+    rng = np.random.default_rng(12)
     prob, R_gt, t_gt, _ = build_problem(rng)
     res = bundle_adjust(prob, CAM, iters=8)
     np.testing.assert_allclose(np.asarray(res.cam_t[:2]), t_gt[:2], atol=1e-7)
     np.testing.assert_allclose(np.asarray(res.cam_R[:2]), R_gt[:2], atol=1e-7)
 
 
-def test_ba_robust_to_outliers(rng):
+def test_ba_robust_to_outliers():
+    rng = np.random.default_rng(13)
     prob, R_gt, t_gt, pts_gt = build_problem(rng)
     uv = np.asarray(prob.obs_uv)
     mask = rng.random(uv.shape[:2]) < 0.1
     uv = uv + mask[..., None] * rng.uniform(30, 90, uv.shape)
     prob = prob._replace(obs_uv=jnp.asarray(uv.astype(np.float32)))
-    res = bundle_adjust(prob, CAM, iters=12)
+    # outliers need a converged phase-1 before the chi2 cull bites
+    res = bundle_adjust(prob, CAM, iters=20)
     for c in range(2, 6):
         dt = np.linalg.norm(np.asarray(res.cam_t[c]) - t_gt[c])
         assert dt < 2e-2, (c, dt)
