@@ -1,0 +1,166 @@
+"""Loop detection and closure orchestration.
+
+Reference behavior being replaced: the engine's loop-closing thread — DBoW2
+candidate query, Sim3 verification, pose-graph optimization, global BA
+(enabled/disabled via `disable_loop_detector`,
+/root/reference/src/Trackers/OpenVSLAMTrackerBase.cpp:253-255).
+
+TPU-native layout: the keyframe BoW database is a device-resident (K, W)
+matrix (queries are one matvec); verification is dense mutual-NN matching +
+robust Umeyama Sim3 on 3D-3D landmark pairs; correction is Sim3 pose-graph
+GN over all keyframes followed by batched landmark re-anchoring.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.sim3 import Sim3, sim3_compose, sim3_inverse, sim3_apply
+from ..kernels.match import match_mutual_nn
+from ..mapstore.store import MapStore
+from .vocab import Vocabulary, bow_vector, bow_similarity
+from .sim3_solve import robust_sim3_from_matches
+from .pose_graph import PoseGraphProblem, optimize_pose_graph
+
+
+class LoopConfig(NamedTuple):
+    min_score: float = 0.18        # absolute BoW similarity gate
+    min_gap: int = 8               # candidate must be this many KFs older
+    min_pair_matches: int = 30     # descriptor matches to attempt Sim3
+    min_sim3_inliers: int = 15
+    sim3_sigma: float = 0.1        # inlier scale (map units)
+    pose_graph_iters: int = 10
+
+
+class LoopResult(NamedTuple):
+    detected: bool
+    candidate: int
+    n_matches: int
+    n_inliers: int
+
+
+class LoopCloser:
+    """Host-side loop closing over a MapStore. One instance per tracker."""
+
+    def __init__(self, vocab: Vocabulary, max_keyframes: int, cfg: LoopConfig = LoopConfig()):
+        self.vocab = vocab
+        self.cfg = cfg
+        W = vocab.words.shape[0]
+        self.db = jnp.zeros((max_keyframes, W), jnp.float32)
+        self.n = 0
+
+    def add_keyframe(self, m: MapStore, k: int):
+        v = bow_vector(self.vocab, m.kf_desc[k], m.kf_kp_valid[k])
+        self.db = self.db.at[k].set(v)
+        self.n = max(self.n, k + 1)
+        return v
+
+    def detect(self, m: MapStore, k_new: int) -> int:
+        """Returns candidate keyframe index or −1."""
+        v = self.db[k_new]
+        scores = np.asarray(bow_similarity(v, self.db))
+        scores[max(0, k_new - self.cfg.min_gap):] = -1.0
+        scores[self.n:] = -1.0
+        cand = int(np.argmax(scores))
+        if scores[cand] < self.cfg.min_score:
+            return -1
+        return cand
+
+    def try_close(self, m: MapStore, k_new: int) -> tuple[MapStore, LoopResult]:
+        """Detect + verify + correct. Returns (possibly updated map, result)."""
+        cand = self.detect(m, k_new)
+        if cand < 0:
+            return m, LoopResult(False, -1, 0, 0)
+
+        # descriptor matches between the two keyframes
+        idx, ok = match_mutual_nn(
+            m.kf_desc[k_new], m.kf_desc[cand],
+            m.kf_kp_valid[k_new], m.kf_kp_valid[cand],
+            max_distance=60, ratio=0.9,
+        )
+        # keep pairs where both slots carry landmarks
+        lm_new = m.kf_lm_idx[k_new]
+        lm_old = m.kf_lm_idx[cand][idx]
+        both = ok & (lm_new >= 0) & (lm_old >= 0)
+        n_matches = int(jnp.sum(both))
+        if n_matches < self.cfg.min_pair_matches:
+            return m, LoopResult(False, cand, n_matches, 0)
+
+        src = m.lm_pos[jnp.maximum(lm_new, 0)]   # drifted world positions
+        dst = m.lm_pos[jnp.maximum(lm_old, 0)]   # loop-anchored positions
+        S_corr, inlier = robust_sim3_from_matches(
+            src, dst, both, sigma=self.cfg.sim3_sigma
+        )
+        n_inl = int(jnp.sum(inlier))
+        if n_inl < self.cfg.min_sim3_inliers:
+            return m, LoopResult(False, cand, n_matches, n_inl)
+
+        m = self._correct(m, k_new, cand, S_corr)
+        return m, LoopResult(True, cand, n_matches, n_inl)
+
+    # ------------------------------------------------------------------
+
+    def _correct(self, m: MapStore, k_new: int, cand: int, S_corr: Sim3) -> MapStore:
+        """Pose-graph optimize and re-anchor landmarks."""
+        K = m.kf_R.shape[0]
+        nk = int(m.n_kf)
+
+        node_R = m.kf_R
+        node_t = m.kf_t
+        node_s = jnp.ones((K,), jnp.float32)
+
+        # sequential odometry edges (k, k+1) for existing keyframes + loop edge
+        E = K  # capacity: K-1 sequential + 1 loop, padded
+        ei = np.zeros((E,), np.int32)
+        ej = np.zeros((E,), np.int32)
+        ew = np.zeros((E,), np.float32)
+        for k in range(min(nk - 1, E - 1)):
+            ei[k], ej[k], ew[k] = k, k + 1, 1.0
+        ei[E - 1], ej[E - 1], ew[E - 1] = cand, k_new, 2.0  # loop edge, stronger
+
+        ei_j = jnp.asarray(ei)
+        ej_j = jnp.asarray(ej)
+
+        Si = Sim3(node_R[ei_j], node_t[ei_j], node_s[ei_j])
+        Sj = Sim3(node_R[ej_j], node_t[ej_j], node_s[ej_j])
+        Sm = sim3_compose(Si, sim3_inverse(Sj))  # consistent with current estimates
+
+        # loop edge measurement: S_cand ∘ S_corr ∘ S_new⁻¹
+        S_cand = Sim3(node_R[cand], node_t[cand], jnp.float32(1.0))
+        S_new = Sim3(node_R[k_new], node_t[k_new], jnp.float32(1.0))
+        S_loop = sim3_compose(S_cand, sim3_compose(S_corr, sim3_inverse(S_new)))
+        Sm = Sim3(
+            R=Sm.R.at[E - 1].set(S_loop.R),
+            t=Sm.t.at[E - 1].set(S_loop.t),
+            s=Sm.s.at[E - 1].set(S_loop.s),
+        )
+
+        fixed = np.zeros((K,), bool)
+        fixed[0] = True
+        fixed[nk:] = True  # freeze empty slots
+
+        prob = PoseGraphProblem(
+            node_R=node_R, node_t=node_t, node_s=node_s,
+            edge_i=ei_j, edge_j=ej_j,
+            edge_R=Sm.R, edge_t=Sm.t, edge_s=Sm.s,
+            edge_weight=jnp.asarray(ew),
+            node_fixed=jnp.asarray(fixed),
+        )
+        R2, t2, s2, _ = optimize_pose_graph(prob, iters=self.cfg.pose_graph_iters)
+
+        # landmark re-anchoring: p' = S_f_new⁻¹( S_f_old(p) ) with world->kf
+        # Sim3s of the landmark's first keyframe
+        f = jnp.maximum(m.lm_first_kf, 0)
+        S_old = Sim3(m.kf_R[f], m.kf_t[f], jnp.ones_like(s2[f]) * 1.0)
+        S_newS = Sim3(R2[f], t2[f], s2[f])
+        p_kf = sim3_apply(S_old, m.lm_pos)
+        p_corr = sim3_apply(sim3_inverse(S_newS), p_kf)
+        lm_pos = jnp.where(m.lm_valid[:, None], p_corr, m.lm_pos)
+
+        # fold scale into the SE3 keyframe poses: T = (R, t/s)
+        kf_R = R2
+        kf_t = t2 / jnp.maximum(s2[:, None], 1e-9)
+        return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos)

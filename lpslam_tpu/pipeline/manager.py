@@ -1,0 +1,424 @@
+"""SlamManager — pipeline orchestration (reference Manager/SlamManager parity).
+
+Owns the camera/sensor/result queues and the worker threads:
+- worker: pops camera frames, drains the sensor queue up to the frame
+  timestamp, requests nav data from the host app, runs processors then
+  trackers, pushes results (reference worker lambda SlamManager.cpp:54-239);
+- notify worker: pops results and invokes the reconstruction callback
+  (SlamManager.cpp:240-257);
+- image-callback worker: JPEG-compresses frames for remote viewing
+  (SlamManager.cpp:258-314);
+- RecordEngine / ReplayEngine integration (SlamManager.cpp:565-573);
+- addImageFromBuffer-style external ingestion for embedding hosts
+  (SlamManager.cpp:1038-1297): mono/stereo buffers, compressed JPEG input,
+  pixel-format conversion.
+"""
+from __future__ import annotations
+
+import time
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from .config import FullConfig, ManagerConfig, CameraConfig, load_config_file, ConfigError
+from .queues import (
+    BoundedQueue,
+    CameraQueueEntry,
+    SensorQueueEntry,
+    ResultQueueEntry,
+    ManagedThread,
+    FramerateCompute,
+)
+from .record import RecordEngine, ReplayEngine, _encode_jpeg
+from .sources import ImageSourceBase, FileImageSource, SyntheticSource, OpenCVCameraSource, ReplaySource
+from .processors import (
+    ProcessorBase,
+    BlackoutImageProcessor,
+    AdjustIntensityProcessor,
+    CameraCalibrationProcessor,
+)
+from .trackers import TrackerBase, VSLAMTracker, LaserScan
+from ..geometry.camera import PinholeCamera
+
+
+@dataclass
+class SlamStatus:
+    """LpSlamStatus parity (/root/reference/src/Interface/LpSlamTypes.h:78-87)."""
+
+    localization: str = "Off"
+    landmarks: int = 0
+    keyframes: int = 0
+    frame_time: float = 0.0
+    fps: float = 0.0
+    frames_processed: int = 0
+
+
+SOURCE_REGISTRY = {
+    "File": FileImageSource,
+    "OpenCV": OpenCVCameraSource,
+    "Synthetic": SyntheticSource,
+    "Webots": SyntheticSource,   # simulation alias
+    "Replay": ReplaySource,
+}
+
+PROCESSOR_REGISTRY = {
+    "BlackoutImage": BlackoutImageProcessor,
+    "AdjustIntensity": AdjustIntensityProcessor,
+    "CameraCalibration": CameraCalibrationProcessor,
+}
+
+
+class SlamManager:
+    """Pipeline owner. Register stages by name (like the reference's string
+    registry SlamManager.cpp:393-501) or pass instances, then start()."""
+
+    def __init__(self, config: Optional[FullConfig] = None):
+        self.camera_queue = BoundedQueue(maxsize=64)
+        self.sensor_queue = BoundedQueue(maxsize=256)
+        self.result_queue = BoundedQueue(maxsize=64)
+        self.image_cb_queue = BoundedQueue(maxsize=8)
+
+        self.sources: list = []
+        self.processors: list = []
+        self.trackers: list = []
+        self.cameras: dict = {}
+
+        self.recorder = RecordEngine()
+        self.replay: Optional[ReplayEngine] = None
+        self._record_enabled = False
+
+        self._worker: Optional[ManagedThread] = None
+        self._notify_worker: Optional[ManagedThread] = None
+        self._image_cb_worker: Optional[ManagedThread] = None
+
+        self.on_reconstruction: Optional[Callable] = None
+        self.on_image: Optional[Callable] = None
+        self.request_nav_data: Optional[Callable] = None
+        self.request_nav_transformation: Optional[Callable] = None
+
+        self._fps = FramerateCompute()
+        self._frames = 0
+        self._running = False
+
+        if config is not None:
+            self.apply_config(config)
+
+    # -- configuration ------------------------------------------------------
+
+    def read_configuration_file(self, path: str) -> None:
+        self.apply_config(load_config_file(path))
+
+    def apply_config(self, cfg: FullConfig) -> None:
+        self.cameras = dict(cfg.cameras)
+        self._record_enabled = cfg.manager.record
+        self.recorder.record_images = cfg.manager.record_images
+        for type_name, conf in cfg.datasources:
+            self.add_source_by_name(type_name, conf)
+        for type_name, conf in cfg.processors:
+            self.add_processor_by_name(type_name, conf)
+        for type_name, conf in cfg.trackers:
+            self.add_tracker_by_name(type_name, conf)
+
+    def set_camera_configuration(self, cam: CameraConfig):
+        self.cameras[cam.number] = cam
+
+    def get_camera_configuration(self, number: int) -> Optional[CameraConfig]:
+        return self.cameras.get(number)
+
+    def _camera_model(self, number: int = 0) -> PinholeCamera:
+        cc = self.cameras.get(number)
+        if cc is None or cc.fx == 0:
+            raise ConfigError(f"no camera configuration for camera {number}")
+        return PinholeCamera.make(cc.fx, cc.fy, cc.cx, cc.cy)
+
+    # -- registry -----------------------------------------------------------
+
+    def add_source_by_name(self, type_name: str, config: Optional[dict] = None):
+        cls = SOURCE_REGISTRY.get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown datasource type '{type_name}'")
+        src = cls(config)
+        self.sources.append(src)
+        return src
+
+    def add_processor_by_name(self, type_name: str, config: Optional[dict] = None):
+        cls = PROCESSOR_REGISTRY.get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown processor type '{type_name}'")
+        proc = cls(config)
+        self.processors.append(proc)
+        return proc
+
+    def add_tracker_by_name(self, type_name: str, config: Optional[dict] = None):
+        if type_name not in ("VSLAM", "OpenVSLAM", "OpenVSLAMStereo"):
+            raise ConfigError(f"unknown tracker type '{type_name}'")
+        config = dict(config or {})
+        if type_name == "OpenVSLAMStereo":
+            config.setdefault("mode", "stereo")
+        cam_number = config.pop("camera_number", 0)
+        cc = self.cameras.get(cam_number)
+        if cc is not None and cc.focal_x_baseline and "focal_x_baseline" not in config:
+            config["focal_x_baseline"] = cc.focal_x_baseline
+        tracker = VSLAMTracker(self._camera_model(cam_number), config)
+        self.trackers.append(tracker)
+        return tracker
+
+    def add_source(self, src: ImageSourceBase):
+        self.sources.append(src)
+
+    def add_processor(self, proc: ProcessorBase):
+        self.processors.append(proc)
+
+    def add_tracker(self, tracker: TrackerBase):
+        self.trackers.append(tracker)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self):
+        if self._running:
+            return
+        for tracker in self.trackers:
+            tracker.start(self.sensor_queue)
+        for src in self.sources:
+            src.start_sensor(self.sensor_queue)
+            src.start(self.camera_queue)
+        self._worker = ManagedThread(self._work, name="slam-worker")
+        self._worker.start()
+        self._notify_worker = ManagedThread(self._notify, name="notify")
+        self._notify_worker.start()
+        self._image_cb_worker = ManagedThread(self._image_cb, name="image-cb")
+        self._image_cb_worker.start()
+        if self._record_enabled:
+            fname = time.strftime("slam_%Y-%m-%d_%H-%M-%S.pb")
+            self.recorder.set_output_file(fname)
+            self.recorder.start()
+        self._running = True
+
+    def stop(self):
+        if not self._running:
+            return
+        for src in self.sources:
+            src.stop()
+        self._worker.stop()
+        self._notify_worker.stop()
+        self._image_cb_worker.stop()
+        for tracker in self.trackers:
+            tracker.stop()
+        if self._record_enabled:
+            self.recorder.stop()
+        self._running = False
+
+    # -- external-buffer ingestion (embedding API) --------------------------
+
+    def add_image_from_buffer(
+        self,
+        timestamp: float,
+        buffer: np.ndarray,
+        camera_number: int = 0,
+        compressed: Optional[bytes] = None,
+        ros_timestamp: Optional[int] = None,
+    ):
+        """Mono ingestion; `compressed` accepts JPEG bytes (OneImage_Compressed
+        parity)."""
+        if compressed is not None:
+            import cv2
+
+            arr = np.frombuffer(compressed, np.uint8)
+            img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                return False
+            buffer = img
+        img = self._to_gray_f32(buffer)
+        self.camera_queue.push(
+            CameraQueueEntry(
+                timestamp=timestamp, image=img, camera_number=camera_number,
+                ros_timestamp=ros_timestamp,
+            )
+        )
+        return True
+
+    def add_stereo_image_from_buffer(
+        self,
+        timestamp: float,
+        left: np.ndarray,
+        right: np.ndarray,
+        camera_number: int = 0,
+        ros_timestamp: Optional[int] = None,
+    ):
+        self.camera_queue.push(
+            CameraQueueEntry(
+                timestamp=timestamp,
+                image=self._to_gray_f32(left),
+                image_second=self._to_gray_f32(right),
+                camera_number=camera_number,
+                ros_timestamp=ros_timestamp,
+            )
+        )
+        return True
+
+    @staticmethod
+    def _to_gray_f32(buf: np.ndarray) -> np.ndarray:
+        """8UC1 passthrough; 8UC3/8UC4 -> grayscale (pixel-format parity with
+        addImageFromBuffer, SlamManager.cpp:1113-1297)."""
+        buf = np.asarray(buf)
+        if buf.ndim == 3 and buf.shape[2] in (3, 4):
+            import cv2
+
+            code = cv2.COLOR_BGR2GRAY if buf.shape[2] == 3 else cv2.COLOR_BGRA2GRAY
+            buf = cv2.cvtColor(buf, code)
+        return buf.astype(np.float32)
+
+    def add_imu(self, timestamp: float, acc, gyro):
+        self.sensor_queue.push(
+            SensorQueueEntry(
+                timestamp=timestamp, kind="imu",
+                acc=np.asarray(acc, np.float64), gyro=np.asarray(gyro, np.float64),
+            )
+        )
+
+    def add_global_state(self, timestamp: float, position, rotation, reference=False):
+        self.sensor_queue.push(
+            SensorQueueEntry(
+                timestamp=timestamp, kind="global_state",
+                state=(np.asarray(position), np.asarray(rotation)),
+                reference=reference,
+            )
+        )
+
+    def add_laser_scan(self, timestamp: float, ranges, angle_min, angle_increment,
+                       range_max):
+        scan = LaserScan(
+            timestamp=timestamp, ranges=np.asarray(ranges, np.float64),
+            angle_min=angle_min, angle_increment=angle_increment, range_max=range_max,
+        )
+        for tracker in self.trackers:
+            tracker.add_laser_scan(scan)
+
+    # -- mapping API --------------------------------------------------------
+
+    def mapping_get_map_raw(self):
+        for tracker in self.trackers:
+            occ = tracker.get_occupancy_map()
+            if occ is not None:
+                return occ
+        return None
+
+    def mapping_get_features(self, max_count: int = 0):
+        for tracker in self.trackers:
+            if hasattr(tracker, "get_features"):
+                return tracker.get_features(max_count)
+        return []
+
+    def mapping_export_csv(self, path: str):
+        for tracker in self.trackers:
+            if hasattr(tracker, "export_csv"):
+                tracker.export_csv(path)
+                return True
+        return False
+
+    # -- status -------------------------------------------------------------
+
+    def get_status(self) -> SlamStatus:
+        st = SlamStatus(fps=self._fps.fps, frames_processed=self._frames)
+        for tracker in self.trackers:
+            s = tracker.status()
+            if s:
+                st.localization = s.get("state", "Off")
+                st.landmarks = s.get("landmarks", 0)
+                st.keyframes = s.get("keyframes", 0)
+                st.frame_time = s.get("frame_time", 0.0)
+                break
+        return st
+
+    # -- workers ------------------------------------------------------------
+
+    def _work(self, thread: ManagedThread):
+        if self.replay is not None:
+            self.replay.stream_more()
+        entry = self.camera_queue.pop(timeout=0.1)
+        if entry is None or not entry.valid:
+            return
+        self._fps.tick()
+        self._frames += 1
+
+        if self.on_image is not None:
+            self.image_cb_queue.push(entry)
+
+        # drain sensor values up to the frame timestamp
+        sensor_values = []
+        nav_odom = None
+        while True:
+            try:
+                sv = self.sensor_queue.get_nowait()
+            except Exception:
+                break
+            sensor_values.append(sv)
+            if sv.kind == "global_state" and not sv.reference:
+                nav_odom = sv.state
+            if sv.timestamp > entry.timestamp:
+                break
+
+        # host-app nav request (ROS TF lookup parity, SlamManager.cpp:148-185)
+        if self.request_nav_data is not None:
+            nav = self.request_nav_data(entry.timestamp)
+            if nav is not None:
+                nav_odom = nav
+
+        if self._record_enabled:
+            self.recorder.store_camera_image(entry)
+            for sv in sensor_values:
+                if sv.kind == "imu":
+                    self.recorder.store_imu(sv.timestamp, sv.acc, sv.gyro)
+
+        for proc in self.processors:
+            entry = proc.process_image(entry)
+
+        sent = False
+        for tracker in self.trackers:
+            results = tracker.process_image(entry, nav_odom, None, sensor_values)
+            for res in results:
+                rq = ResultQueueEntry(
+                    timestamp=res.timestamp,
+                    position=res.position,
+                    orientation_wxyz=res.orientation_wxyz,
+                    valid=res.valid,
+                )
+                if self._record_enabled:
+                    self.recorder.store_result(
+                        res.timestamp, res.position, res.orientation_wxyz
+                    )
+                self.result_queue.push(rq)
+                sent = True
+        if not sent:
+            # invalid reconstruction so clients observe the gap
+            # (SlamManager.cpp:230-236)
+            self.result_queue.push(
+                ResultQueueEntry(
+                    timestamp=entry.timestamp,
+                    position=np.zeros(3),
+                    orientation_wxyz=np.asarray([1.0, 0, 0, 0]),
+                    valid=False,
+                )
+            )
+
+    def _notify(self, thread: ManagedThread):
+        res = self.result_queue.pop(timeout=0.1)
+        if res is None:
+            return
+        if self.on_reconstruction is not None:
+            self.on_reconstruction(res)
+
+    def _image_cb(self, thread: ManagedThread):
+        entry = self.image_cb_queue.pop(timeout=0.1)
+        if entry is None:
+            return
+        if self.on_image is not None:
+            jpeg = _encode_jpeg(entry.image, quality=70)
+            second = (
+                _encode_jpeg(entry.image_second, quality=70)
+                if entry.image_second is not None
+                else None
+            )
+            self.on_image(entry.timestamp, jpeg, second)

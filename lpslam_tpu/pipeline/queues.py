@@ -1,0 +1,140 @@
+"""Bounded queues + managed worker threads — the pipeline plumbing.
+
+The reference moves all cross-thread data through tbb::concurrent_bounded_
+queue typedefs with sentinel shutdown entries (/root/reference/src/DataTypes/
+CameraQueue.h:63, SensorQueue.h:85, ResultQueue.h:24;
+/root/reference/src/Utils/ManagedThread.h:18-94). Python equivalents: stdlib
+queue.Queue (already thread-safe/bounded) + a ManagedThread with the same
+stop/stopAsync semantics.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+@dataclass
+class CameraQueueEntry:
+    """Mono or stereo frame + optional nav states (reference CameraQueue.h:13-61)."""
+
+    timestamp: float
+    image: np.ndarray
+    image_second: Optional[np.ndarray] = None
+    camera_number: int = 0
+    state_odom: Optional[object] = None
+    state_map: Optional[object] = None
+    ros_timestamp: Optional[int] = None
+    aux: Any = None      # depth map for RGB-D sources
+    valid: bool = True   # False = shutdown sentinel
+
+
+@dataclass
+class SensorQueueEntry:
+    """Tagged union: imu | global_state | feature_list (SensorQueue.h:14-83)."""
+
+    timestamp: float
+    kind: str                      # "imu" | "global_state" | "features"
+    acc: Optional[np.ndarray] = None
+    gyro: Optional[np.ndarray] = None
+    state: Optional[object] = None
+    reference: bool = False
+    features: Optional[list] = None
+
+
+@dataclass
+class ResultQueueEntry:
+    timestamp: float
+    position: np.ndarray
+    orientation_wxyz: np.ndarray
+    valid: bool
+    raw: Any = None
+
+
+class BoundedQueue(queue.Queue):
+    """Bounded queue with non-blocking push-drop-oldest semantics option."""
+
+    def __init__(self, maxsize: int = 32):
+        super().__init__(maxsize=maxsize)
+
+    def push(self, item, drop_oldest: bool = True):
+        try:
+            self.put_nowait(item)
+        except queue.Full:
+            if drop_oldest:
+                try:
+                    self.get_nowait()
+                except queue.Empty:
+                    pass
+                try:
+                    self.put_nowait(item)
+                except queue.Full:
+                    pass
+            else:
+                self.put(item)
+
+    def pop(self, timeout: Optional[float] = None):
+        try:
+            return self.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+
+class ManagedThread:
+    """Loop-thread wrapper: run `fn(ctx)` until stopped (ManagedThread.h parity)."""
+
+    def __init__(self, fn: Callable[["ManagedThread"], None], name: str = "worker"):
+        self._fn = fn
+        self._name = name
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    @property
+    def stopped(self) -> bool:
+        return self._stop.is_set()
+
+    def start(self):
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                self._fn(self)
+
+        self._thread = threading.Thread(target=loop, name=self._name, daemon=True)
+        self._thread.start()
+
+    def stop(self, join_timeout: float = 5.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=join_timeout)
+            self._thread = None
+
+    def stop_async(self):
+        self._stop.set()
+
+
+class FramerateCompute:
+    """10-sample sliding framerate estimator (TimeMeasurement.h:105-141)."""
+
+    def __init__(self, window: int = 10):
+        self._times: list = []
+        self._window = window
+
+    def tick(self):
+        now = time.monotonic()
+        self._times.append(now)
+        if len(self._times) > self._window:
+            self._times.pop(0)
+
+    @property
+    def fps(self) -> float:
+        if len(self._times) < 2:
+            return 0.0
+        dt = self._times[-1] - self._times[0]
+        return (len(self._times) - 1) / dt if dt > 0 else 0.0

@@ -1,0 +1,285 @@
+"""Frame sources — producers that feed the camera queue.
+
+Reference parity (SURVEY.md §2 Sources family):
+- ImageSourceBase lifecycle: start(camera_queue) / startSensor(sensor_queue) /
+  stop(), camera pose config (/root/reference/src/Sources/ImageSourceBase.h:10-60);
+- FileImageSource: image files at ~10 fps with optional looping
+  (/root/reference/src/Sources/FileImageSource.cpp:14-65);
+- OpenCVCameraSource: cv::VideoCapture, retries, grayscale, side-by-side /
+  top-bottom stereo split, fps throttle (OpenCVCameraSource.cpp:11-227);
+- WebotsSource (simulation with ground truth + IMU) → SyntheticSource here;
+- ReplaySource covers the replay path (see record.py for the engine itself).
+
+Live USB capture (ZED driver) is hardware-dependent; the dataset/synthetic
+sources carry the benchmark configs. An OpenCV device source is provided for
+generic UVC cameras when hardware exists.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import time
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .queues import BoundedQueue, CameraQueueEntry, SensorQueueEntry, ManagedThread
+from .config import ConfigOptions
+
+
+class ImageSourceBase:
+    """Producer base: override `_produce` or the worker loop."""
+
+    schema = ConfigOptions()
+
+    def __init__(self, config: Optional[dict] = None):
+        self.cfg = self.schema.parse(config)
+        self._worker: Optional[ManagedThread] = None
+        self.camera_queue: Optional[BoundedQueue] = None
+        self.sensor_queue: Optional[BoundedQueue] = None
+
+    def start(self, camera_queue: BoundedQueue):
+        self.camera_queue = camera_queue
+        self._worker = ManagedThread(self._loop, name=type(self).__name__)
+        self._worker.start()
+
+    def start_sensor(self, sensor_queue: BoundedQueue):
+        self.sensor_queue = sensor_queue
+
+    def stop(self):
+        if self._worker is not None:
+            self._worker.stop()
+            self._worker = None
+
+    def _loop(self, thread: ManagedThread):
+        raise NotImplementedError
+
+
+class FileImageSource(ImageSourceBase):
+    """Reads mono or stereo image files from disk at a fixed rate."""
+
+    schema = (
+        ConfigOptions()
+        .optional("directory", str, "")
+        .optional("pattern", str, "*.png")
+        .optional("fps", float, 10.0)
+        .optional("loop", bool, False)
+        .optional("stereo_right_directory", str, "")
+    )
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        self._files: list = []
+        self._right: list = []
+        self._idx = 0
+        if self.cfg["directory"]:
+            self._files = sorted(
+                glob.glob(os.path.join(self.cfg["directory"], self.cfg["pattern"]))
+            )
+        if self.cfg["stereo_right_directory"]:
+            self._right = sorted(
+                glob.glob(
+                    os.path.join(self.cfg["stereo_right_directory"], self.cfg["pattern"])
+                )
+            )
+
+    def add_image(self, path: str):
+        self._files.append(path)
+
+    def add_stereo_image(self, left: str, right: str):
+        self._files.append(left)
+        self._right.append(right)
+
+    def _loop(self, thread: ManagedThread):
+        import cv2
+
+        if self._idx >= len(self._files):
+            if self.cfg["loop"] and self._files:
+                self._idx = 0
+            else:
+                time.sleep(0.02)
+                return
+        path = self._files[self._idx]
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        second = None
+        if self._idx < len(self._right):
+            second = cv2.imread(self._right[self._idx], cv2.IMREAD_GRAYSCALE)
+            second = None if second is None else second.astype(np.float32)
+        self._idx += 1
+        if img is None:
+            return
+        self.camera_queue.push(
+            CameraQueueEntry(
+                timestamp=time.time(),
+                image=img.astype(np.float32),
+                image_second=second,
+            )
+        )
+        time.sleep(1.0 / max(self.cfg["fps"], 1e-3))
+
+
+class SyntheticSource(ImageSourceBase):
+    """Simulation source with ground truth — the WebotsSource stand-in.
+
+    Publishes camera frames to the camera queue and ground-truth GlobalState
+    (+ optional noise) to the sensor queue, like the reference's Webots source
+    (/root/reference/src/Sources/WebotsSource.cpp:81-376).
+    """
+
+    schema = (
+        ConfigOptions()
+        .optional("num_frames", int, 60)
+        .optional("width", int, 320)
+        .optional("height", int, 240)
+        .optional("fps", float, 20.0)
+        .optional("seed", int, 0)
+        .optional("motion", str, "orbit")
+        .optional("gt_noise_sigma", float, 0.0)
+        .optional("stereo_baseline", float, 0.0)
+        .optional("with_depth", bool, False)
+        .optional("realtime", bool, False)
+    )
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        from ..io.synthetic import make_sequence
+
+        self.seq = make_sequence(
+            num_frames=self.cfg["num_frames"],
+            h=self.cfg["height"],
+            w=self.cfg["width"],
+            seed=self.cfg["seed"],
+            motion=self.cfg["motion"],
+            stereo_baseline=self.cfg["stereo_baseline"],
+            with_depth=self.cfg["with_depth"],
+        )
+        self._idx = 0
+        self._rng = np.random.default_rng(self.cfg["seed"] + 99)
+
+    @property
+    def K(self):
+        return self.seq.K
+
+    def _loop(self, thread: ManagedThread):
+        if self._idx >= len(self.seq.images):
+            time.sleep(0.02)
+            return
+        t = self._idx
+        self._idx += 1
+        ts = t / max(self.cfg["fps"], 1e-3)
+        entry = CameraQueueEntry(
+            timestamp=ts,
+            image=self.seq.images[t],
+            image_second=None if self.seq.images_r is None else self.seq.images_r[t],
+            aux=None if self.seq.depths is None else self.seq.depths[t],
+        )
+        if self.sensor_queue is not None:
+            pose = self.seq.poses_wc[t]
+            pos = np.asarray(pose.t, np.float64).copy()
+            if self.cfg["gt_noise_sigma"] > 0:
+                pos += self._rng.normal(0, self.cfg["gt_noise_sigma"], 3)
+            self.sensor_queue.push(
+                SensorQueueEntry(timestamp=ts, kind="global_state", state=(pos, pose.R))
+            )
+        self.camera_queue.push(entry)
+        if self.cfg["realtime"]:
+            time.sleep(1.0 / max(self.cfg["fps"], 1e-3))
+
+    @property
+    def done(self) -> bool:
+        return self._idx >= len(self.seq.images)
+
+
+class OpenCVCameraSource(ImageSourceBase):
+    """Generic UVC camera via cv2.VideoCapture with retry-on-open and stereo
+    split (reference OpenCVCameraSource parity). Requires camera hardware."""
+
+    schema = (
+        ConfigOptions()
+        .optional("device", int, 0)
+        .optional("width", int, 0)
+        .optional("height", int, 0)
+        .optional("fps", float, 0.0)
+        .optional("stereo_split", str, "none")  # none | side_by_side | top_bottom
+        .optional("open_retries", int, 5)
+    )
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        self._cap = None
+
+    def start(self, camera_queue: BoundedQueue):
+        import cv2
+
+        for attempt in range(self.cfg["open_retries"]):
+            self._cap = cv2.VideoCapture(self.cfg["device"])
+            if self._cap.isOpened():
+                break
+            time.sleep(0.5)
+        if self._cap is None or not self._cap.isOpened():
+            raise RuntimeError(f"cannot open camera device {self.cfg['device']}")
+        if self.cfg["width"]:
+            self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, self.cfg["width"])
+        if self.cfg["height"]:
+            self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, self.cfg["height"])
+        if self.cfg["fps"]:
+            self._cap.set(cv2.CAP_PROP_FPS, self.cfg["fps"])
+        super().start(camera_queue)
+
+    def _loop(self, thread: ManagedThread):
+        import cv2
+
+        ok, frame = self._cap.read()
+        if not ok:
+            time.sleep(0.01)
+            return
+        if frame.ndim == 3:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+        frame = frame.astype(np.float32)
+        second = None
+        split = self.cfg["stereo_split"]
+        if split == "side_by_side":
+            half = frame.shape[1] // 2
+            frame, second = frame[:, :half], frame[:, half:]
+        elif split == "top_bottom":
+            half = frame.shape[0] // 2
+            frame, second = frame[:half], frame[half:]
+        self.camera_queue.push(
+            CameraQueueEntry(timestamp=time.time(), image=frame, image_second=second)
+        )
+
+    def stop(self):
+        super().stop()
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
+class ReplaySource(ImageSourceBase):
+    """Wrapper source that streams a recorded .pb file (see record.ReplayEngine)."""
+
+    schema = ConfigOptions().required("file", str).optional("fps", float, 0.0)
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        from .record import ReplayEngine
+
+        self._engine = ReplayEngine(self.cfg["file"])
+
+    def start(self, camera_queue: BoundedQueue):
+        self.camera_queue = camera_queue
+        self._engine.attach(camera_queue, self.sensor_queue)
+        self._worker = ManagedThread(self._loop, name="ReplaySource")
+        self._worker.start()
+
+    def _loop(self, thread: ManagedThread):
+        n = self._engine.stream_more()
+        if n == 0:
+            time.sleep(0.02)
+        if self.cfg["fps"] > 0:
+            time.sleep(1.0 / self.cfg["fps"])
+
+    @property
+    def done(self) -> bool:
+        return self._engine.done

@@ -1,0 +1,342 @@
+"""Tracker pipeline stage — wraps the SLAM engine behind the reference's
+TrackerBase contract (/root/reference/src/Trackers/TrackerBase.h:57-150):
+processImage(entry, nav_odom, nav_map, sensor_values) -> results, laser-scan
+ingestion, occupancy-map export, status reporting.
+
+The engine underneath is the lpslam_tpu frontend (Mono/Stereo/RGBD trackers +
+loop closing) instead of an external OpenVSLAM process — the fork extensions
+the reference drives (navigation-state priors, laser2d ingest with staleness
+window, occupancy grid export, landmark export, tracker state surface —
+OpenVSLAMTrackerBase.cpp / OpenVSLAMStereoTracker.cpp call sites) are provided
+natively here.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .config import ConfigOptions
+from .queues import CameraQueueEntry
+from ..geometry.camera import PinholeCamera
+from ..geometry.frames import optical_to_lpslam
+from ..frontend.tracker import MonoTracker, TrackerConfig, TrackerStatus
+from ..frontend.stereo import StereoTracker, RGBDTracker
+from ..kernels.orb import OrbParams
+from ..mapstore.store import MapConfig
+
+
+@dataclass
+class TrackerResult:
+    timestamp: float
+    position: np.ndarray        # lpslam frame
+    orientation_wxyz: np.ndarray
+    valid: bool
+
+
+@dataclass
+class LaserScan:
+    timestamp: float
+    ranges: np.ndarray          # (N,)
+    angle_min: float
+    angle_increment: float
+    range_max: float
+
+
+class TrackerBase:
+    schema = ConfigOptions()
+
+    def __init__(self, config: Optional[dict] = None):
+        self.cfg = self.schema.parse(config)
+
+    def start(self, sensor_queue=None):
+        pass
+
+    def stop(self):
+        pass
+
+    def process_image(self, entry: CameraQueueEntry, nav_odom=None, nav_map=None,
+                      sensor_values=()) -> list:
+        raise NotImplementedError
+
+    def add_laser_scan(self, scan: LaserScan):
+        pass
+
+    def get_occupancy_map(self):
+        return None
+
+    def status(self) -> dict:
+        return {}
+
+
+class VSLAMTracker(TrackerBase):
+    """The visual-SLAM tracker stage (mono / stereo / rgbd modes)."""
+
+    schema = (
+        ConfigOptions()
+        .optional("mode", str, "mono")
+        .optional("keypoints", int, 512)          # reference slamKeypoints
+        .optional("levels", int, 3)
+        .optional("scale_factor", float, 1.2)
+        .optional("fast_threshold", float, 20.0)
+        .optional("fast_min_threshold", float, 7.0)
+        .optional("max_keyframes", int, 128)
+        .optional("max_landmarks", int, 16384)
+        .optional("focal_x_baseline", float, 0.0)
+        .optional("depth_threshold", float, 40.0)
+        .optional("y_matching_margin", float, 2.0)
+        .optional("max_depth", float, 12.0)       # rgbd
+        .optional("wait_for_navigation_data", bool, False)
+        .optional("relocalize_with_nav_data", bool, False)
+        .optional("time_to_relocalize", float, 3.0)
+        .optional("loop_closure", bool, False)
+        .optional("mapping", bool, True)
+        .optional("map_file", str, "")
+        .optional("occupancy_cell_size", float, 0.1)
+        .optional("max_laser_age", float, 0.5)
+    )
+
+    def __init__(self, cam: PinholeCamera, config: Optional[dict] = None):
+        super().__init__(config)
+        orb = OrbParams(
+            num_keypoints=self.cfg["keypoints"],
+            num_levels=self.cfg["levels"],
+            scale_factor=self.cfg["scale_factor"],
+            fast_threshold=self.cfg["fast_threshold"],
+            fast_min_threshold=self.cfg["fast_min_threshold"],
+        )
+        tcfg = TrackerConfig(
+            orb=orb,
+            map_cfg=MapConfig(
+                max_keyframes=self.cfg["max_keyframes"],
+                max_landmarks=self.cfg["max_landmarks"],
+                num_keypoints=self.cfg["keypoints"],
+            ),
+        )
+        mode = self.cfg["mode"]
+        if mode == "stereo":
+            self.engine = StereoTracker(
+                cam,
+                focal_x_baseline=self.cfg["focal_x_baseline"],
+                cfg=tcfg,
+                y_margin=self.cfg["y_matching_margin"],
+                depth_threshold=self.cfg["depth_threshold"],
+            )
+        elif mode == "rgbd":
+            self.engine = RGBDTracker(cam, cfg=tcfg, max_depth=self.cfg["max_depth"])
+        elif mode == "mono":
+            self.engine = MonoTracker(cam, tcfg)
+        else:
+            raise ValueError(f"unknown tracker mode '{mode}'")
+
+        self.loop_closer = None
+        self._vocab = None
+        self._loop_pending_kfs = 0
+        self._last_result_time = 0.0
+        self._lost_since: Optional[float] = None
+        self._laser_buffer: list = []
+        self._frame_times: list = []
+
+        # map persistence parity: load map.db-equivalent if configured
+        if self.cfg["map_file"]:
+            from ..mapstore.checkpoint import load_map
+
+            m = load_map(self.cfg["map_file"])
+            if m is not None:
+                self.engine.map = m
+                self.engine.status = TrackerStatus.LOST  # relocalize into it
+
+    # -- pipeline API -------------------------------------------------------
+
+    def process_image(self, entry: CameraQueueEntry, nav_odom=None, nav_map=None,
+                      sensor_values=()) -> list:
+        if self.cfg["wait_for_navigation_data"] and nav_odom is None:
+            return []
+        t0 = time.monotonic()
+        aux = entry.image_second if self.cfg["mode"] == "stereo" else entry.aux
+        st, pose = self.engine.process(entry.image, aux=aux)
+        self._frame_times.append(time.monotonic() - t0)
+        if len(self._frame_times) > 30:
+            self._frame_times.pop(0)
+
+        if self.cfg["loop_closure"]:
+            self._maybe_close_loop()
+
+        if st == TrackerStatus.LOST:
+            if self._lost_since is None:
+                self._lost_since = entry.timestamp
+            if (
+                self.cfg["relocalize_with_nav_data"]
+                and nav_odom is not None
+                and entry.timestamp - self._lost_since > self.cfg["time_to_relocalize"]
+            ):
+                self._reseed_from_nav(nav_odom)
+        else:
+            self._lost_since = None
+
+        if pose is None:
+            return []
+        # optical -> lpslam frame conversion at the boundary, like
+        # createTrackerResult (OpenVSLAMTrackerBase.cpp:307-329)
+        R = np.asarray(pose.R)
+        t = np.asarray(pose.t)
+        center_opt = -R.T @ t
+        center_lp = np.asarray(optical_to_lpslam(center_opt))
+        from ..geometry.so3 import rot_to_quat
+
+        q = np.asarray(rot_to_quat(R.T))
+        return [
+            TrackerResult(
+                timestamp=entry.timestamp,
+                position=center_lp,
+                orientation_wxyz=q,
+                valid=True,
+            )
+        ]
+
+    def _maybe_close_loop(self):
+        import jax.numpy as jnp
+
+        nk = self.engine.n_keyframes
+        if nk <= self._loop_pending_kfs:
+            return
+        if self.loop_closer is None:
+            # train the vocabulary lazily on the map's own descriptors (the
+            # reference ships a pre-trained orb_vocab.dbow2; self-training on
+            # session data is the dataset-free equivalent)
+            if nk < 4:
+                self._loop_pending_kfs = nk
+                return
+            from ..loop import train_vocabulary, LoopCloser
+
+            m = self.engine.map
+            desc = np.asarray(m.kf_desc[:nk]).reshape(-1, 8)
+            valid = np.asarray(m.kf_kp_valid[:nk]).reshape(-1)
+            train = desc[valid][:4096]
+            vocab = train_vocabulary(train, n_words=min(512, max(64, len(train) // 8)))
+            self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
+            for k in range(nk):
+                self.loop_closer.add_keyframe(m, k)
+            self._loop_pending_kfs = nk
+            return
+        for k in range(self._loop_pending_kfs, nk):
+            self.loop_closer.add_keyframe(self.engine.map, k)
+            self.engine.map, res = self.loop_closer.try_close(self.engine.map, k)
+            if res.detected:
+                # pose changed under us: resync tracker pose with last KF
+                from ..geometry.se3 import SE3
+
+                kk = self.engine.map.n_kf - 1
+                self.engine.pose = SE3(
+                    self.engine.map.kf_R[kk], self.engine.map.kf_t[kk]
+                )
+        self._loop_pending_kfs = nk
+
+    def _reseed_from_nav(self, nav_odom):
+        """Relocalization prior from navigation data (fork extension parity)."""
+        from ..geometry.se3 import SE3
+        import jax.numpy as jnp
+
+        pos, R_wc = nav_odom
+        R = np.asarray(R_wc)
+        t = -R.T @ np.asarray(pos)
+        self.engine.pose = SE3(jnp.asarray(R.T, jnp.float32), jnp.asarray(t, jnp.float32))
+        self.engine.status = TrackerStatus.LOST  # next frame tries wide-radius match
+        self._lost_since = None
+
+    # -- laser / occupancy (fork extension parity) --------------------------
+
+    def add_laser_scan(self, scan: LaserScan):
+        self._laser_buffer.append(scan)
+        cutoff = scan.timestamp - self.cfg["max_laser_age"]
+        self._laser_buffer = [s for s in self._laser_buffer if s.timestamp >= cutoff]
+
+    def get_occupancy_map(self):
+        """Project landmarks (+ buffered laser endpoints) into a 2D grid.
+
+        Returns dict(grid int8 (H,W): -1 unknown / 0 free / 100 occupied,
+        origin (2,), cell_size) — LpMapInfo-equivalent
+        (/root/reference/src/Trackers/OpenVSLAMStereoTracker.cpp:382-402).
+        """
+        m = self.engine.map
+        nk = int(m.n_kf)
+        if nk == 0:
+            return None
+        lmv = np.asarray(m.lm_valid)
+        pts = np.asarray(m.lm_pos)[lmv]
+        if len(pts) == 0:
+            return None
+        cs = self.cfg["occupancy_cell_size"]
+        # optical frame: x right, z forward — the ground plane is (x, z)
+        centers = []
+        for k in range(nk):
+            R = np.asarray(m.kf_R[k])
+            t = np.asarray(m.kf_t[k])
+            centers.append(-R.T @ t)
+        centers = np.asarray(centers)
+        all_xy = np.concatenate([pts[:, [0, 2]], centers[:, [0, 2]]], 0)
+        lo = all_xy.min(0) - 3 * cs
+        hi = all_xy.max(0) + 3 * cs
+        shape = np.maximum(((hi - lo) / cs).astype(int) + 1, 1)
+        grid = np.full((shape[1], shape[0]), -1, np.int8)
+
+        def to_cell(xy):
+            c = ((xy - lo) / cs).astype(int)
+            return np.clip(c, 0, shape - 1)
+
+        # free space at keyframe positions, occupied at landmark cells
+        for c in to_cell(centers[:, [0, 2]]):
+            grid[c[1], c[0]] = 0
+        for c in to_cell(pts[:, [0, 2]]):
+            grid[c[1], c[0]] = 100
+        for scan in self._laser_buffer:
+            angles = scan.angle_min + np.arange(len(scan.ranges)) * scan.angle_increment
+            ok = (scan.ranges > 0) & (scan.ranges < scan.range_max)
+            ex = scan.ranges[ok] * np.cos(angles[ok])
+            ez = scan.ranges[ok] * np.sin(angles[ok])
+            R = np.asarray(m.kf_R[nk - 1])
+            t = np.asarray(m.kf_t[nk - 1])
+            ctr = -R.T @ t
+            pts_l = np.stack([ex, np.zeros_like(ex), ez], 1) @ R + ctr
+            for c in to_cell(pts_l[:, [0, 2]]):
+                grid[c[1], c[0]] = 100
+        return {"grid": grid, "origin": lo, "cell_size": cs}
+
+    # -- status / export ----------------------------------------------------
+
+    def status(self) -> dict:
+        ft = float(np.mean(self._frame_times)) if self._frame_times else 0.0
+        return {
+            "state": self.engine.status.name,
+            "keyframes": self.engine.n_keyframes,
+            "landmarks": self.engine.n_landmarks,
+            "frame_time": ft,
+        }
+
+    def get_features(self, max_count: int = 0):
+        """Landmark export (emitMap / mappingGetFeatures parity)."""
+        m = self.engine.map
+        lmv = np.asarray(m.lm_valid)
+        pts = np.asarray(m.lm_pos)[lmv]
+        obs = np.asarray(m.lm_n_obs)[lmv]
+        if max_count and len(pts) > max_count:
+            pts, obs = pts[:max_count], obs[:max_count]
+        return [{"position": p, "observations": int(o)} for p, o in zip(pts, obs)]
+
+    def export_csv(self, path: str):
+        with open(path, "w") as f:
+            f.write("x,y,z,n_obs\n")
+            for feat in self.get_features():
+                p = feat["position"]
+                f.write(f"{p[0]},{p[1]},{p[2]},{feat['observations']}\n")
+
+    def save_map(self, path: str):
+        from ..mapstore.checkpoint import save_map
+
+        save_map(self.engine.map, path)
+
+    def stop(self):
+        if self.cfg["map_file"]:
+            self.save_map(self.cfg["map_file"])
