@@ -73,6 +73,7 @@ class TrackResult(NamedTuple):
     n_inliers: jnp.ndarray
     kp_lm_idx: jnp.ndarray     # (N,) landmark id per frame keypoint (-1 none)
     n_visible: jnp.ndarray
+    map: MapStore              # with updated landmark visibility statistics
 
 
 # ---------------------------------------------------------------------------
@@ -132,15 +133,21 @@ def track_frame(
     n_kp = feats.xy.shape[0]
     lm_ids = jnp.arange(m.lm_pos.shape[0], dtype=jnp.int32)
     kp_lm = jnp.full((n_kp,), -1, jnp.int32)
-    good = ok & res.inlier
-    kp_lm = kp_lm.at[jnp.where(good, idx, n_kp)].set(
-        jnp.where(good, lm_ids, -1), mode="drop"
+    good_lm = ok & res.inlier
+    kp_lm = kp_lm.at[jnp.where(good_lm, idx, n_kp)].set(
+        jnp.where(good_lm, lm_ids, -1), mode="drop"
+    )
+    # landmark visibility statistics (engine landmark-culling bookkeeping)
+    m = m._replace(
+        lm_n_visible=m.lm_n_visible + visible.astype(jnp.int32),
+        lm_n_found=m.lm_n_found + good_lm.astype(jnp.int32),
     )
     return TrackResult(
         pose=res.pose,
         n_inliers=res.n_inliers,
         kp_lm_idx=kp_lm,
         n_visible=jnp.sum(visible).astype(jnp.int32),
+        map=m,
     )
 
 
@@ -157,6 +164,14 @@ def insert_keyframe(
     """Write the current frame as a keyframe and triangulate new landmarks
     against the previous keyframe (the mapping-thread capability of the
     reference engine, executed inline as one fused device program)."""
+    # landmark culling (engine mapping-thread parity): drop landmarks that
+    # kept failing to match where predicted visible
+    poor = (m.lm_n_visible >= 8) & (
+        m.lm_n_found.astype(jnp.float32)
+        < 0.25 * m.lm_n_visible.astype(jnp.float32)
+    )
+    m = m._replace(lm_valid=m.lm_valid & ~poor)
+
     ref = jnp.maximum(m.n_kf - 1, 0)
     m = insert_keyframe_slots(
         m, pose.R, pose.t, feats.xy, feats.desc, feats.valid, kp_lm_idx, frame_id
@@ -383,6 +398,7 @@ class MonoTracker:
         for RGB-D) — unused by the monocular tracker.
         """
         feats = self._extract(image)
+        self.last_feats = feats  # exposed for BoW relocalization / recording
         st = self.status
 
         if st == TrackerStatus.NOT_INITIALIZED:
@@ -415,6 +431,7 @@ class MonoTracker:
             tr = track_frame(
                 self.map, pred, self.cam, feats, radius, self.cfg.match_max_hamming
             )
+            self.map = tr.map  # adopt visibility statistics
             n_inl = int(tr.n_inliers)
             if n_inl >= self.cfg.min_inliers:
                 prev_pose = self.pose

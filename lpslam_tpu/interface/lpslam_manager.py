@@ -102,6 +102,9 @@ class LpSlamManager:
     def set_request_nav_transformation_callback(self, cb: Callable) -> None:
         self._m.request_nav_transformation = cb
 
+    def add_marker(self, marker_id: int, position, orientation_wxyz) -> None:
+        self._m.add_marker(marker_id, position, orientation_wxyz)
+
     # mapping ---------------------------------------------------------------
 
     def mapping_add_laser_scan(self, timestamp: float, ranges, angle_min: float,

@@ -24,9 +24,11 @@ def make_texture(h: int = 480, w: int = 640, seed: int = 0, n_shapes: int = 400)
     """
     rng = np.random.default_rng(seed)
     img = np.full((h, w), 128.0, np.float32)
+    max_rw = min(64, max(w // 2, 9))
+    max_rh = min(64, max(h // 2, 9))
     for _ in range(n_shapes):
-        rw = rng.integers(8, 64)
-        rh = rng.integers(8, 64)
+        rw = rng.integers(8, max_rw)
+        rh = rng.integers(8, max_rh)
         x0 = rng.integers(0, w - rw)
         y0 = rng.integers(0, h - rh)
         val = rng.uniform(20, 235)

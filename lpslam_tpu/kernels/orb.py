@@ -40,6 +40,7 @@ class OrbParams(NamedTuple):
     fast_threshold: float = 20.0
     fast_min_threshold: float = 7.0
     cell: int = 16  # grid cell for spatially-uniform selection (0 = global)
+    use_pallas: bool = False  # fused Pallas FAST+NMS kernel (TPU)
 
 
 class OrbFeatures(NamedTuple):
@@ -196,12 +197,19 @@ def extract_orb(img, params: OrbParams = OrbParams()) -> OrbFeatures:
     for lvl, (level_img, k_lvl) in enumerate(zip(levels, budgets)):
         if k_lvl <= 0:
             continue
-        score_hi, _ = fast_score(level_img, params.fast_threshold)
-        score_lo, _ = fast_score(level_img, params.fast_min_threshold)
-        # blend: high-threshold corners dominate, low-threshold fill in
-        lo_ceiling = 1e-3 / (1.0 + jnp.max(score_lo))
-        score = jnp.where(score_hi > 0, 1.0 + score_hi, score_lo * lo_ceiling)
-        score = nms3x3(score)
+        if params.use_pallas:
+            from .pallas_fast import fast_nms_score_pallas
+
+            score = fast_nms_score_pallas(
+                level_img, params.fast_threshold, params.fast_min_threshold
+            )
+        else:
+            score_hi, _ = fast_score(level_img, params.fast_threshold)
+            score_lo, _ = fast_score(level_img, params.fast_min_threshold)
+            # blend: high-threshold corners dominate, low-threshold fill in
+            lo_ceiling = 1e-3 / (1.0 + jnp.max(score_lo))
+            score = jnp.where(score_hi > 0, 1.0 + score_hi, score_lo * lo_ceiling)
+            score = nms3x3(score)
         xy, sc, valid = select_topk_grid(
             score, k_lvl, cell=params.cell, border=EDGE_MARGIN
         )

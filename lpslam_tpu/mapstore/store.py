@@ -37,6 +37,8 @@ class MapStore(NamedTuple):
     lm_valid: jnp.ndarray      # (M,) bool
     lm_n_obs: jnp.ndarray      # (M,) int32 — number of keyframes observing
     lm_first_kf: jnp.ndarray   # (M,) int32 — keyframe that created it
+    lm_n_visible: jnp.ndarray  # (M,) int32 — frames where projection predicted
+    lm_n_found: jnp.ndarray    # (M,) int32 — frames where actually matched
     # keyframes (Tcw: world -> camera)
     kf_R: jnp.ndarray          # (K, 3, 3)
     kf_t: jnp.ndarray          # (K, 3)
@@ -60,6 +62,8 @@ def empty_map(cfg: MapConfig) -> MapStore:
         lm_valid=jnp.zeros((M,), bool),
         lm_n_obs=jnp.zeros((M,), jnp.int32),
         lm_first_kf=jnp.full((M,), -1, jnp.int32),
+        lm_n_visible=jnp.zeros((M,), jnp.int32),
+        lm_n_found=jnp.zeros((M,), jnp.int32),
         kf_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)).copy(),
         kf_t=jnp.zeros((K, 3), jnp.float32),
         kf_valid=jnp.zeros((K,), bool),

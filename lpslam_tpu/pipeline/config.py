@@ -156,12 +156,26 @@ class ManagerConfig:
 
 
 @dataclass
+class MarkerConfig:
+    """Parsed `markers` section entry (known fiducial markers with global
+    poses — reference markers registry, SlamManager.cpp:972-1003)."""
+
+    marker_id: int = 0
+    marker_type: str = "fixed"
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    orientation_wxyz: np.ndarray = field(
+        default_factory=lambda: np.asarray([1.0, 0, 0, 0])
+    )
+
+
+@dataclass
 class FullConfig:
     manager: ManagerConfig
     trackers: list          # [(type, configuration-dict)]
     processors: list
     datasources: list
     cameras: dict           # number -> CameraConfig
+    markers: list = field(default_factory=list)
 
 
 def load_config_file(path: str) -> FullConfig:
@@ -197,10 +211,27 @@ def load_config_file(path: str) -> FullConfig:
         cc = CameraConfig.from_json(cam_json)
         cameras[cc.number] = cc
 
+    markers = []
+    for mk in raw.get("markers", []):
+        if "type" not in mk:
+            raise ConfigError("markers entry missing 'type'")
+        conf = mk.get("configuration", {})
+        markers.append(
+            MarkerConfig(
+                marker_id=int(conf.get("id", 0)),
+                marker_type=mk["type"],
+                position=np.asarray(conf.get("position", [0, 0, 0]), np.float64),
+                orientation_wxyz=np.asarray(
+                    conf.get("orientation", [1, 0, 0, 0]), np.float64
+                ),
+            )
+        )
+
     return FullConfig(
         manager=mgr,
         trackers=comp_list("trackers"),
         processors=comp_list("processors"),
         datasources=comp_list("datasources"),
         cameras=cameras,
+        markers=markers,
     )

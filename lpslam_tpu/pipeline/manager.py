@@ -39,6 +39,7 @@ from .processors import (
     AdjustIntensityProcessor,
     CameraCalibrationProcessor,
 )
+from .rectify import RectifyProcessor
 from .trackers import TrackerBase, VSLAMTracker, LaserScan
 from ..geometry.camera import PinholeCamera
 
@@ -67,6 +68,7 @@ PROCESSOR_REGISTRY = {
     "BlackoutImage": BlackoutImageProcessor,
     "AdjustIntensity": AdjustIntensityProcessor,
     "CameraCalibration": CameraCalibrationProcessor,
+    "Rectify": RectifyProcessor,
 }
 
 
@@ -84,6 +86,7 @@ class SlamManager:
         self.processors: list = []
         self.trackers: list = []
         self.cameras: dict = {}
+        self.markers: dict = {}  # id -> MarkerConfig (known fiducials)
 
         self.recorder = RecordEngine()
         self.replay: Optional[ReplayEngine] = None
@@ -112,6 +115,8 @@ class SlamManager:
 
     def apply_config(self, cfg: FullConfig) -> None:
         self.cameras = dict(cfg.cameras)
+        for mk in getattr(cfg, "markers", []):
+            self.markers[mk.marker_id] = mk
         self._record_enabled = cfg.manager.record
         self.recorder.record_images = cfg.manager.record_images
         for type_name, conf in cfg.datasources:
@@ -148,6 +153,11 @@ class SlamManager:
         if cls is None:
             raise ConfigError(f"unknown processor type '{type_name}'")
         proc = cls(config)
+        if isinstance(proc, RectifyProcessor):
+            n = proc.cfg["camera_number"]
+            cam = self.cameras.get(n)
+            if cam is not None:
+                proc.configure(cam, self.cameras.get(n + 1))
         self.processors.append(proc)
         return proc
 
@@ -285,6 +295,30 @@ class SlamManager:
                 state=(np.asarray(position), np.asarray(rotation)),
                 reference=reference,
             )
+        )
+
+    def add_marker(self, marker_id: int, position, orientation_wxyz):
+        """Register a known marker pose (reference addMarker parity). A
+        marker measurement later yields the vehicle pose via
+        utils.transformations.vehicle_pose_from_marker_measurement."""
+        from .config import MarkerConfig
+
+        self.markers[marker_id] = MarkerConfig(
+            marker_id=marker_id,
+            position=np.asarray(position, np.float64),
+            orientation_wxyz=np.asarray(orientation_wxyz, np.float64),
+        )
+
+    def vehicle_pose_from_marker(self, marker_id: int, measured_pos,
+                                 measured_q_wxyz):
+        """Host-app helper: global vehicle pose from a marker measurement."""
+        mk = self.markers.get(marker_id)
+        if mk is None:
+            return None
+        from ..utils.transformations import vehicle_pose_from_marker_measurement
+
+        return vehicle_pose_from_marker_measurement(
+            mk.position, mk.orientation_wxyz, measured_pos, measured_q_wxyz
         )
 
     def add_laser_scan(self, timestamp: float, ranges, angle_min, angle_increment,

@@ -173,6 +173,8 @@ class VSLAMTracker(TrackerBase):
                 and entry.timestamp - self._lost_since > self.cfg["time_to_relocalize"]
             ):
                 self._reseed_from_nav(nav_odom)
+            elif self.loop_closer is not None:
+                self._bow_relocalize()
         else:
             self._lost_since = None
 
@@ -233,6 +235,27 @@ class VSLAMTracker(TrackerBase):
                     self.engine.map.kf_R[kk], self.engine.map.kf_t[kk]
                 )
         self._loop_pending_kfs = nk
+
+    def _bow_relocalize(self):
+        """BoW relocalization after tracking loss: query the keyframe database
+        with the current frame, jump the pose prior to the best keyframe —
+        the wide-radius LOST matching then re-acquires on the next frame
+        (engine relocalization parity)."""
+        feats = getattr(self.engine, "last_feats", None)
+        if feats is None:
+            return
+        from ..loop.vocab import bow_vector, bow_similarity
+
+        v = bow_vector(self.loop_closer.vocab, feats.desc, feats.valid)
+        scores = np.asarray(bow_similarity(v, self.loop_closer.db))
+        scores[self.loop_closer.n:] = -1.0
+        best = int(np.argmax(scores))
+        if scores[best] < 0.1:
+            return
+        from ..geometry.se3 import SE3
+
+        m = self.engine.map
+        self.engine.pose = SE3(m.kf_R[best], m.kf_t[best])
 
     def _reseed_from_nav(self, nav_odom):
         """Relocalization prior from navigation data (fork extension parity)."""
