@@ -1,1 +1,1 @@
-from .ba import bundle_adjust, BAProblem, BAResult, local_ba
+from .ba import bundle_adjust, BAProblem, BAResult, local_ba, global_ba

@@ -252,6 +252,10 @@ def local_ba(m, cam: PinholeCamera, window: int = 6, iters: int = 8):
     monocular case — the reference engine equivalently anchors local BA with
     out-of-window keyframes). Returns an updated MapStore.
     """
+    return _local_ba_impl(m, cam, window, iters)
+
+
+def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int):
     from ..mapstore.store import MapStore
 
     K = m.kf_R.shape[0]
@@ -294,3 +298,12 @@ def local_ba(m, cam: PinholeCamera, window: int = 6, iters: int = 8):
         jnp.where(win_exists[:, None], res.cam_t, m.kf_t[win_idx])
     )
     return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=res.points), res
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def global_ba(m, cam: PinholeCamera, iters: int = 10):
+    """Full-map bundle adjustment: every keyframe + every landmark (the
+    engine's post-loop global BA). Equivalent to local_ba with the window set
+    to the whole keyframe capacity; first two keyframes fixed as gauge."""
+    window = m.kf_R.shape[0]
+    return _local_ba_impl(m, cam, window, iters)

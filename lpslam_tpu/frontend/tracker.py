@@ -286,6 +286,9 @@ class MonoTracker:
     # Monocular init needs two frames with baseline; depth-capable trackers
     # (stereo / RGB-D subclasses) bootstrap from a single frame.
     _needs_two_frames = True
+    # False = localization-only mode: track against the existing map, never
+    # insert keyframes (reference disable_mapping_module / mappingSetMode)
+    mapping_enabled = True
 
     def _extract(self, image) -> OrbFeatures:
         img = jnp.asarray(image, jnp.float32)
@@ -443,7 +446,7 @@ class MonoTracker:
                     self.cfg.velocity_gain * se3_log(v_meas)
                 )
                 self.status = TrackerStatus.TRACKING
-                if self._keyframe_needed(n_inl):
+                if self._keyframe_needed(n_inl) and self.mapping_enabled:
                     if int(self.map.n_kf) < self.cfg.map_cfg.max_keyframes:
                         self._do_insert_keyframe(feats, tr, aux)
                         if self.cfg.local_ba_window > 0:

@@ -41,6 +41,9 @@ class OrbParams(NamedTuple):
     fast_min_threshold: float = 7.0
     cell: int = 16  # grid cell for spatially-uniform selection (0 = global)
     use_pallas: bool = False  # fused Pallas FAST+NMS kernel (TPU)
+    # True: 12-degree angle-binned BRIEF sampled by MXU matmuls (~10x faster
+    # on TPU than the exact-rotation gather; classic-ORB-style quantization)
+    binned_brief: bool = True
 
 
 class OrbFeatures(NamedTuple):
@@ -141,6 +144,65 @@ def orientation_maps(img):
 
 _BIT_WEIGHTS = jnp.asarray((1 << np.arange(32)).astype(np.uint32))
 
+# --- angle-binned sampling (classic ORB 12-degree quantization) ------------
+N_ANGLE_BINS = 30
+_PB = 16  # patch half-size; pattern radius <= 13, rotation preserves norm
+_PATCH = 2 * _PB  # 32
+
+
+def _binned_sample_matrices():
+    """(BINS, 1024, 512) one-hot selection: patch pixels -> 512 sample values
+    (first 256 columns = point p of each pair, last 256 = point q)."""
+    mats = np.zeros((N_ANGLE_BINS, _PATCH * _PATCH, 512), np.float32)
+    pat = np.asarray(BRIEF_PATTERN)  # (256, 2, 2)
+    for b in range(N_ANGLE_BINS):
+        th = b * 2 * np.pi / N_ANGLE_BINS - np.pi
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        rot = pat @ R.T  # (256, 2, 2) xy
+        ix = np.clip(np.round(rot[..., 0]).astype(int), -_PB, _PB - 1) + _PB
+        iy = np.clip(np.round(rot[..., 1]).astype(int), -_PB, _PB - 1) + _PB
+        flat = iy * _PATCH + ix  # (256, 2)
+        for pair in range(256):
+            mats[b, flat[pair, 0], pair] = 1.0
+            mats[b, flat[pair, 1], 256 + pair] = 1.0
+    return jnp.asarray(mats)
+
+
+_SAMPLE_MATS = _binned_sample_matrices()
+
+
+def steered_brief_binned(blurred, xy, angle):
+    """Angle-binned steered BRIEF: MXU matmul sampling instead of a random
+    gather (the gather costs ~3 ms/frame on TPU; this path is ~10x cheaper).
+
+    Rotation is quantized to 12-degree bins exactly like classic ORB's
+    precomputed-pattern trick; descriptors from this path are self-consistent
+    (always match against other binned descriptors).
+    """
+    h, w = blurred.shape
+    n = xy.shape[0]
+    # 32x32 patch per keypoint (keypoints respect EDGE_MARGIN=16)
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - _PB, 0, w - _PATCH)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - _PB, 0, h - _PATCH)
+    patches = jax.vmap(
+        lambda y0, x0: jax.lax.dynamic_slice(blurred, (y0, x0), (_PATCH, _PATCH))
+    )(cy, cx).reshape(n, _PATCH * _PATCH)
+
+    # all-bins sampling on the MXU, then per-keypoint bin selection
+    vals_all = jnp.einsum(
+        "np,bpq->bnq", patches, _SAMPLE_MATS,
+        preferred_element_type=jnp.float32,
+    )  # (BINS, N, 512)
+    bins = jnp.mod(
+        jnp.round((angle + np.pi) * (N_ANGLE_BINS / (2 * np.pi))).astype(jnp.int32),
+        N_ANGLE_BINS,
+    )
+    vals = jnp.take_along_axis(
+        vals_all, bins[None, :, None], axis=0
+    )[0]  # (N, 512)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    return jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
+
 
 def steered_brief(blurred, xy, angle):
     """Compute 256-bit steered BRIEF for keypoints on one level image.
@@ -223,7 +285,10 @@ def extract_orb(img, params: OrbParams = OrbParams()) -> OrbFeatures:
         m01 = m01_map.reshape(-1)[yi * w + xi]
         angle = jnp.arctan2(m01, m10)
 
-        desc = steered_brief(blurred, xy, angle)
+        if params.binned_brief:
+            desc = steered_brief_binned(blurred, xy, angle)
+        else:
+            desc = steered_brief(blurred, xy, angle)
 
         scale_l = jnp.float32(params.scale_factor**lvl)
         feats.append(

@@ -9,8 +9,8 @@ VMEM-resident pass per row band:
     two-threshold blended score -> 3x3 NMS -> write band
 
 Band tiling keeps live VMEM ~2 MB (a whole 480p frame plus temporaries blows
-the 16 MB scoped-vmem limit). The 4-row halo covers FAST's +-3 taps plus
-NMS's +-1; row-wrap artifacts from `roll` land only on globally
+the 16 MB scoped-vmem limit). The 8-row halo covers FAST's +-3 taps plus
+NMS's +-1 (8 keeps dynamic sublane offsets aligned); row-wrap artifacts from `roll` land only on globally
 border-masked rows, so outputs equal the XLA version bit-for-bit.
 """
 from __future__ import annotations

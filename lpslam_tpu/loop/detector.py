@@ -33,6 +33,7 @@ class LoopConfig(NamedTuple):
     min_sim3_inliers: int = 15
     sim3_sigma: float = 0.1        # inlier scale (map units)
     pose_graph_iters: int = 10
+    global_ba_iters: int = 0       # > 0: run full-map BA after the pose graph
 
 
 class LoopResult(NamedTuple):
@@ -61,7 +62,7 @@ class LoopCloser:
     def detect(self, m: MapStore, k_new: int) -> int:
         """Returns candidate keyframe index or −1."""
         v = self.db[k_new]
-        scores = np.asarray(bow_similarity(v, self.db))
+        scores = np.array(bow_similarity(v, self.db))
         scores[max(0, k_new - self.cfg.min_gap):] = -1.0
         scores[self.n:] = -1.0
         cand = int(np.argmax(scores))
@@ -69,8 +70,10 @@ class LoopCloser:
             return -1
         return cand
 
-    def try_close(self, m: MapStore, k_new: int) -> tuple[MapStore, LoopResult]:
-        """Detect + verify + correct. Returns (possibly updated map, result)."""
+    def try_close(self, m: MapStore, k_new: int, cam=None) -> tuple[MapStore, LoopResult]:
+        """Detect + verify + correct. Returns (possibly updated map, result).
+
+        cam: PinholeCamera — required only when cfg.global_ba_iters > 0."""
         cand = self.detect(m, k_new)
         if cand < 0:
             return m, LoopResult(False, -1, 0, 0)
@@ -99,6 +102,10 @@ class LoopCloser:
             return m, LoopResult(False, cand, n_matches, n_inl)
 
         m = self._correct(m, k_new, cand, S_corr)
+        if self.cfg.global_ba_iters > 0 and cam is not None:
+            from ..backend.ba import global_ba
+
+            m, _ = global_ba(m, cam, iters=self.cfg.global_ba_iters)
         return m, LoopResult(True, cand, n_matches, n_inl)
 
     # ------------------------------------------------------------------

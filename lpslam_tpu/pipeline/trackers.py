@@ -131,6 +131,7 @@ class VSLAMTracker(TrackerBase):
         else:
             raise ValueError(f"unknown tracker mode '{mode}'")
 
+        self.engine.mapping_enabled = self.cfg["mapping"]
         self.loop_closer = None
         self._vocab = None
         self._loop_pending_kfs = 0
@@ -225,7 +226,7 @@ class VSLAMTracker(TrackerBase):
             return
         for k in range(self._loop_pending_kfs, nk):
             self.loop_closer.add_keyframe(self.engine.map, k)
-            self.engine.map, res = self.loop_closer.try_close(self.engine.map, k)
+            self.engine.map, res = self.loop_closer.try_close(self.engine.map, k, cam=self.engine.cam)
             if res.detected:
                 # pose changed under us: resync tracker pose with last KF
                 from ..geometry.se3 import SE3
@@ -247,7 +248,7 @@ class VSLAMTracker(TrackerBase):
         from ..loop.vocab import bow_vector, bow_similarity
 
         v = bow_vector(self.loop_closer.vocab, feats.desc, feats.valid)
-        scores = np.asarray(bow_similarity(v, self.loop_closer.db))
+        scores = np.array(bow_similarity(v, self.loop_closer.db))
         scores[self.loop_closer.n:] = -1.0
         best = int(np.argmax(scores))
         if scores[best] < 0.1:
@@ -354,6 +355,10 @@ class VSLAMTracker(TrackerBase):
             for feat in self.get_features():
                 p = feat["position"]
                 f.write(f"{p[0]},{p[1]},{p[2]},{feat['observations']}\n")
+
+    def set_mapping_mode(self, enabled: bool):
+        """Freeze/unfreeze mapping (reference mappingSetMode parity)."""
+        self.engine.mapping_enabled = bool(enabled)
 
     def save_map(self, path: str):
         from ..mapstore.checkpoint import save_map
