@@ -244,26 +244,54 @@ def bundle_adjust(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("window", "iters"))
-def local_ba(m, cam: PinholeCamera, window: int = 6, iters: int = 8):
-    """Optimize the last `window` keyframes + all landmarks they observe.
+@functools.partial(jax.jit, static_argnames=("window", "iters", "covisibility"))
+def local_ba(m, cam: PinholeCamera, window: int = 6, iters: int = 8,
+             covisibility: bool = False):
+    """Optimize a window of keyframes + all landmarks they observe.
 
-    The two oldest window cameras are held fixed (pose + scale gauge for the
-    monocular case — the reference engine equivalently anchors local BA with
-    out-of-window keyframes). Returns an updated MapStore.
+    covisibility=True swaps the two oldest temporal slots for the two older
+    keyframes most covisible with the newest (the engine's covisibility
+    neighborhood). The two oldest window cameras are held fixed (pose + scale
+    gauge for the monocular case). Returns an updated MapStore.
     """
-    return _local_ba_impl(m, cam, window, iters)
+    return _local_ba_impl(m, cam, window, iters, covisibility)
 
 
-def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int):
+def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
+                   covisibility: bool = False):
     from ..mapstore.store import MapStore
 
     K = m.kf_R.shape[0]
     P = m.lm_pos.shape[0]
-    # window = last `window` valid keyframe slots: indices n_kf-window .. n_kf-1
-    base = jnp.maximum(m.n_kf - window, 0)
-    win_idx = jnp.clip(base + jnp.arange(window), 0, K - 1)
-    win_exists = (base + jnp.arange(window)) < m.n_kf
+    if covisibility and window >= 4:
+        # covisibility window: the newest (window-2) keyframes plus the two
+        # OLDER keyframes sharing the most landmarks with the newest one —
+        # the reference engine's local BA optimizes exactly such a
+        # covisibility neighborhood rather than a purely temporal window.
+        n_recent = window - 2
+        base = jnp.maximum(m.n_kf - n_recent, 0)
+        recent = base + jnp.arange(n_recent)
+        newest = jnp.maximum(m.n_kf - 1, 0)
+        # landmark membership flags of the newest keyframe
+        flags = jnp.zeros((P,), jnp.int32).at[
+            jnp.maximum(m.kf_lm_idx[newest], 0)
+        ].max((m.kf_lm_idx[newest] >= 0).astype(jnp.int32))
+        shared = jnp.sum(
+            flags[jnp.maximum(m.kf_lm_idx, 0)] * (m.kf_lm_idx >= 0), axis=1
+        )  # (K,)
+        kf_ids = jnp.arange(K)
+        older = (kf_ids < base) & m.kf_valid
+        shared = jnp.where(older, shared, -1)
+        top2 = jax.lax.top_k(shared, 2)[1]
+        win_idx = jnp.clip(jnp.concatenate([top2, recent]), 0, K - 1)
+        win_exists = jnp.concatenate(
+            [jax.lax.top_k(shared, 2)[0] > 0, recent < m.n_kf]
+        )
+    else:
+        # purely temporal window: last `window` keyframe slots
+        base = jnp.maximum(m.n_kf - window, 0)
+        win_idx = jnp.clip(base + jnp.arange(window), 0, K - 1)
+        win_exists = (base + jnp.arange(window)) < m.n_kf
 
     cam_R = m.kf_R[win_idx]
     cam_t = m.kf_t[win_idx]

@@ -59,6 +59,10 @@ class TrackerConfig(NamedTuple):
     tri_max_depth: float = 1e4
     local_ba_window: int = 6
     local_ba_iters: int = 8
+    # covisibility-window local BA: anchors on the two older keyframes most
+    # covisible with the newest. Off by default: when no older covisible
+    # keyframes exist yet the window loses its gauge anchors (round-2 item).
+    local_ba_covisibility: bool = False
     # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
     # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
     # (prediction error feeds match selection feeds the next pose): with gain
@@ -456,6 +460,7 @@ class MonoTracker:
                                 self.map, self.cam,
                                 window=self.cfg.local_ba_window,
                                 iters=self.cfg.local_ba_iters,
+                                covisibility=self.cfg.local_ba_covisibility,
                             )
                             # the newest keyframe IS the current frame — adopt
                             # its BA-refined pose

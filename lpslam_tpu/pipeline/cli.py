@@ -123,8 +123,12 @@ def main(argv=None):
                 "state=%s kf=%d lm=%d fps=%.1f",
                 st.localization, st.keyframes, st.landmarks, st.fps,
             )
-            replay_sources = [s for s in mgr.sources if hasattr(s, "done")]
-            if replay_sources and all(s.done for s in replay_sources):
+            finite_sources = [s for s in mgr.sources if hasattr(s, "done")]
+            if (
+                finite_sources
+                and all(s.done for s in finite_sources)
+                and mgr.camera_queue.empty()
+            ):
                 break
     except KeyboardInterrupt:
         pass
