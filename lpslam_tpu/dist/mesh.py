@@ -25,3 +25,25 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "obs") -> Mesh:
 
 def default_mesh() -> Mesh:
     return make_mesh()
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize the multi-host runtime (call once per host before building
+    meshes that span hosts). Thin wrapper over jax.distributed.initialize so
+    pipeline code has one entry point; on single-host runs it is a no-op.
+
+    Multi-host layout: each host runs its own SlamManager pipeline feeding a
+    host-local shard of keyframe observations; distributed_bundle_adjust then
+    reduces Schur blocks over ICI across the full mesh.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -104,6 +104,7 @@ class SlamManager:
         self._fps = FramerateCompute()
         self._frames = 0
         self._running = False
+        self.store_images_dir: Optional[str] = None
 
         if config is not None:
             self.apply_config(config)
@@ -405,6 +406,18 @@ class SlamManager:
             for sv in sensor_values:
                 if sv.kind == "imu":
                     self.recorder.store_imu(sv.timestamp, sv.acc, sv.gyro)
+
+        # raw-frame dump every 10th frame (reference store-images debugging
+        # path, SlamManager.cpp:73-84)
+        if self.store_images_dir and self._frames % 10 == 0:
+            import cv2
+            import os
+
+            os.makedirs(self.store_images_dir, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(self.store_images_dir, f"frame_{self._frames:06d}.png"),
+                np.clip(entry.image, 0, 255).astype(np.uint8),
+            )
 
         for proc in self.processors:
             entry = proc.process_image(entry)
