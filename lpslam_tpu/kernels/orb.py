@@ -188,18 +188,19 @@ def steered_brief_binned(blurred, xy, angle):
         lambda y0, x0: jax.lax.dynamic_slice(blurred, (y0, x0), (_PATCH, _PATCH))
     )(cy, cx).reshape(n, _PATCH * _PATCH)
 
-    # all-bins sampling on the MXU, then per-keypoint bin selection
-    vals_all = jnp.einsum(
-        "np,bpq->bnq", patches, _SAMPLE_MATS,
-        preferred_element_type=jnp.float32,
-    )  # (BINS, N, 512)
+    # all-bins sampling as ONE large matmul (batched small matmuls underuse
+    # the MXU), then per-keypoint bin selection
+    big = jnp.transpose(_SAMPLE_MATS, (1, 0, 2)).reshape(
+        _PATCH * _PATCH, N_ANGLE_BINS * 512
+    )
+    vals_all = jnp.dot(
+        patches, big, preferred_element_type=jnp.float32
+    ).reshape(n, N_ANGLE_BINS, 512)
     bins = jnp.mod(
         jnp.round((angle + np.pi) * (N_ANGLE_BINS / (2 * np.pi))).astype(jnp.int32),
         N_ANGLE_BINS,
     )
-    vals = jnp.take_along_axis(
-        vals_all, bins[None, :, None], axis=0
-    )[0]  # (N, 512)
+    vals = jnp.take_along_axis(vals_all, bins[:, None, None], axis=1)[:, 0]
     bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
     return jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
 
