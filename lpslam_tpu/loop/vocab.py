@@ -113,3 +113,22 @@ def bow_vector(vocab: Vocabulary, desc, valid):
 def bow_similarity(query_vec, db_vecs):
     """Cosine similarity of one query against a (K, W) database: one matvec."""
     return db_vecs @ query_vec
+
+
+def save_vocabulary(vocab: Vocabulary, path: str) -> None:
+    """Persist a vocabulary (the role of the reference's orb_vocab.dbow2 file,
+    /root/reference/src/Trackers/OpenVSLAMTrackerBase.h:88)."""
+    np.savez_compressed(
+        path if path.endswith(".npz") else path + ".npz",
+        words=np.asarray(vocab.words),
+        idf=np.asarray(vocab.idf),
+    )
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    words = jnp.asarray(data["words"])
+    pm1 = _unpack_pm1(words).astype(jnp.int8)
+    return Vocabulary(words=words, words_pm1=pm1, idf=jnp.asarray(data["idf"]))

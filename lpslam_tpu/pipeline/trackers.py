@@ -94,6 +94,7 @@ class VSLAMTracker(TrackerBase):
         .optional("loop_closure", bool, False)
         .optional("mapping", bool, True)
         .optional("map_file", str, "")
+        .optional("vocab_file", str, "")  # pre-trained vocabulary (orb_vocab parity)
         .optional("occupancy_cell_size", float, 0.1)
         .optional("max_laser_age", float, 0.5)
     )
@@ -163,6 +164,16 @@ class VSLAMTracker(TrackerBase):
             self._frame_times.pop(0)
 
         if self.cfg["loop_closure"]:
+            if self.loop_closer is None and self.cfg["vocab_file"]:
+                import os
+
+                if os.path.exists(self.cfg["vocab_file"]) or os.path.exists(
+                    self.cfg["vocab_file"] + ".npz"
+                ):
+                    from ..loop import load_vocabulary, LoopCloser
+
+                    vocab = load_vocabulary(self.cfg["vocab_file"])
+                    self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
             self._maybe_close_loop()
 
         if st == TrackerStatus.LOST:

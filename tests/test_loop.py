@@ -134,3 +134,18 @@ class TestPoseGraph:
         err_after = np.linalg.norm(np.asarray(t2) - gt_t, axis=1).mean()
         assert err_after < 0.2 * err_before, (err_before, err_after)
         assert float(costs[-1]) < float(costs[0]) * 0.01
+
+
+class TestVocabPersistence:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        from lpslam_tpu.loop import train_vocabulary, save_vocabulary, load_vocabulary, assign_words
+
+        desc = rng.integers(0, 2**32, (512, 8), dtype=np.uint32)
+        vocab = train_vocabulary(desc, n_words=64, iters=3)
+        path = str(tmp_path / "vocab")
+        save_vocabulary(vocab, path)
+        v2 = load_vocabulary(path)
+        np.testing.assert_array_equal(np.asarray(v2.words), np.asarray(vocab.words))
+        a1 = np.asarray(assign_words(vocab, jnp.asarray(desc[:32])))
+        a2 = np.asarray(assign_words(v2, jnp.asarray(desc[:32])))
+        np.testing.assert_array_equal(a1, a2)
