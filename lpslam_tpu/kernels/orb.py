@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .pyramid import build_pyramid, gaussian_blur, pyramid_shapes
+from .pyramid import build_pyramid, gaussian_blur
 from .fast import fast_score, nms3x3, select_topk_grid
 
 EDGE_MARGIN = 16  # keypoints closer than this to a level border are dropped

@@ -12,7 +12,7 @@ GN over all keyframes followed by batched landmark re-anchoring.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

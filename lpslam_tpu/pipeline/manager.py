@@ -16,13 +16,12 @@ Owns the camera/sensor/result queues and the worker threads:
 from __future__ import annotations
 
 import time
-import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np
 
-from .config import FullConfig, ManagerConfig, CameraConfig, load_config_file, ConfigError
+from .config import FullConfig, CameraConfig, load_config_file, ConfigError
 from .queues import (
     BoundedQueue,
     CameraQueueEntry,
