@@ -282,16 +282,24 @@ def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
         kf_ids = jnp.arange(K)
         older = (kf_ids < base) & m.kf_valid
         shared = jnp.where(older, shared, -1)
-        top2 = jax.lax.top_k(shared, 2)[1]
+        top_scores, top2 = jax.lax.top_k(shared, 2)
+        top2_valid = top_scores > 0
         win_idx = jnp.clip(jnp.concatenate([top2, recent]), 0, K - 1)
-        win_exists = jnp.concatenate(
-            [jax.lax.top_k(shared, 2)[0] > 0, recent < m.n_kf]
-        )
+        win_exists = jnp.concatenate([top2_valid, recent < m.n_kf])
+        # gauge anchors: the two covisible-older slots when they exist; when
+        # they don't (early in a session) fall back to fixing the oldest
+        # recent entries so the window never loses its pose/scale anchor
+        n_covis = jnp.sum(top2_valid.astype(jnp.int32))
+        rank = jnp.arange(window)
+        extra_fix = (rank >= 2) & ((rank - 2) < (2 - n_covis))
+        cam_fixed = (rank < 2) | extra_fix | ~win_exists
     else:
         # purely temporal window: last `window` keyframe slots
         base = jnp.maximum(m.n_kf - window, 0)
         win_idx = jnp.clip(base + jnp.arange(window), 0, K - 1)
         win_exists = (base + jnp.arange(window)) < m.n_kf
+        rank = jnp.arange(window)
+        cam_fixed = (rank < 2) | ~win_exists
 
     cam_R = m.kf_R[win_idx]
     cam_t = m.kf_t[win_idx]
@@ -300,11 +308,6 @@ def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
     obs_sigma2 = jnp.ones(obs_lm.shape, jnp.float32)
     # keypoint validity folded into obs_lm (−1 where keypoint invalid/unassoc)
     obs_lm = jnp.where(m.kf_kp_valid[win_idx], obs_lm, -1)
-
-    n_win = jnp.sum(win_exists.astype(jnp.int32))
-    # fix the two oldest present cameras
-    rank_in_win = jnp.arange(window)
-    cam_fixed = (rank_in_win < 2) | ~win_exists
 
     prob = BAProblem(
         cam_R=cam_R,
@@ -318,13 +321,12 @@ def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
     )
     res = bundle_adjust(prob, cam, iters=iters)
 
-    # write back: only where the window slot exists
-    kf_R = m.kf_R.at[win_idx].set(
-        jnp.where(win_exists[:, None, None], res.cam_R, m.kf_R[win_idx])
-    )
-    kf_t = m.kf_t.at[win_idx].set(
-        jnp.where(win_exists[:, None], res.cam_t, m.kf_t[win_idx])
-    )
+    # write back only existing window slots; non-existing rows scatter to an
+    # out-of-bounds index and are dropped (also makes duplicate placeholder
+    # indices harmless)
+    scatter_idx = jnp.where(win_exists, win_idx, K)
+    kf_R = m.kf_R.at[scatter_idx].set(res.cam_R, mode="drop")
+    kf_t = m.kf_t.at[scatter_idx].set(res.cam_t, mode="drop")
     return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=res.points), res
 
 

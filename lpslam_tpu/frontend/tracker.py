@@ -59,10 +59,10 @@ class TrackerConfig(NamedTuple):
     tri_max_depth: float = 1e4
     local_ba_window: int = 6
     local_ba_iters: int = 8
-    # covisibility-window local BA: anchors on the two older keyframes most
-    # covisible with the newest. Off by default: when no older covisible
-    # keyframes exist yet the window loses its gauge anchors (round-2 item).
-    local_ba_covisibility: bool = False
+    # covisibility-window local BA: the two older keyframes most covisible
+    # with the newest join (and anchor) the window; falls back to temporal
+    # anchors when no older covisible keyframes exist yet
+    local_ba_covisibility: bool = True
     # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
     # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
     # (prediction error feeds match selection feeds the next pose): with gain
