@@ -321,10 +321,34 @@ class VSLAMTracker(TrackerBase):
             c = ((xy - lo) / cs).astype(int)
             return np.clip(c, 0, shape - 1)
 
-        # free space at keyframe positions, occupied at landmark cells
-        for c in to_cell(centers[:, [0, 2]]):
-            grid[c[1], c[0]] = 0
-        for c in to_cell(pts[:, [0, 2]]):
+        def carve_ray(c0, c1):
+            """Mark cells between c0 and c1 (exclusive) free unless occupied."""
+            d = np.abs(c1 - c0)
+            n = int(max(d[0], d[1]))
+            if n == 0:
+                return
+            for s in range(n):
+                c = np.round(c0 + (c1 - c0) * (s / n)).astype(int)
+                if grid[c[1], c[0]] != 100:
+                    grid[c[1], c[0]] = 0
+
+        # raytrace free space from each keyframe to its observed landmarks,
+        # then stamp landmark cells occupied (standard log-odds-free variant
+        # of the fork's occupancy export)
+        lm_cells = to_cell(pts[:, [0, 2]])
+        kf_lm = np.asarray(m.kf_lm_idx)
+        lm_ids = np.flatnonzero(lmv)
+        id_to_row = {int(l): i for i, l in enumerate(lm_ids)}
+        for k in range(nk):
+            c0 = to_cell(centers[k, [0, 2]][None])[0]
+            grid[c0[1], c0[0]] = 0
+            seen = {int(l) for l in kf_lm[k] if l >= 0}
+            # subsample rays for large keyframes (export stays interactive)
+            for l in list(seen)[::4]:
+                row = id_to_row.get(l)
+                if row is not None:
+                    carve_ray(c0.astype(float), lm_cells[row].astype(float))
+        for c in lm_cells:
             grid[c[1], c[0]] = 100
         for scan in self._laser_buffer:
             angles = scan.angle_min + np.arange(len(scan.ranges)) * scan.angle_increment
