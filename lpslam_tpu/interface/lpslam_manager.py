@@ -120,6 +120,13 @@ class LpSlamManager:
     def mapping_export_csv(self, path: str) -> bool:
         return self._m.mapping_export_csv(path)
 
+    @staticmethod
+    def compress_image(image, quality: int = 70) -> bytes:
+        """JPEG-compress a frame (reference LpSlamManager::compressImage)."""
+        from ..pipeline.record import _encode_jpeg
+
+        return _encode_jpeg(np.asarray(image), quality)
+
     # status ----------------------------------------------------------------
 
     def get_slam_status(self) -> SlamStatus:

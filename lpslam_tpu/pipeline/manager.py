@@ -229,9 +229,21 @@ class SlamManager:
         camera_number: int = 0,
         compressed: Optional[bytes] = None,
         ros_timestamp: Optional[int] = None,
+        pixel_format: str = "gray",
+        stereo_layout: str = "none",
+        width: int = 0,
+        height: int = 0,
     ):
-        """Mono ingestion; `compressed` accepts JPEG bytes (OneImage_Compressed
-        parity)."""
+        """Mono/HMD ingestion (addImageFromBuffer parity, SlamManager.cpp:1113-1297).
+
+        pixel_format: "gray" (8UC1/8UC3/8UC4 arrays), "nv12" (flat Y + UV
+        planes, e.g. Vive Pro), "yuyv" (packed YUV 4:2:2 / 'YUV16', e.g.
+        Valve Index). For planar/packed formats pass the flat byte buffer
+        plus width/height of the full (possibly stacked) frame.
+        stereo_layout: "none" | "top_bottom" | "side_by_side" — HMD frames
+        carrying both eyes are split and pushed as a stereo entry.
+        compressed: JPEG bytes (OneImage_Compressed parity).
+        """
         if compressed is not None:
             import cv2
 
@@ -240,11 +252,38 @@ class SlamManager:
             if img is None:
                 return False
             buffer = img
-        img = self._to_gray_f32(buffer)
+            pixel_format = "gray"
+
+        if pixel_format == "nv12":
+            flat = np.frombuffer(np.ascontiguousarray(buffer), np.uint8)
+            if width * height > flat.size:
+                return False
+            img = flat[: width * height].reshape(height, width).astype(np.float32)
+        elif pixel_format in ("yuyv", "yuv16"):
+            flat = np.frombuffer(np.ascontiguousarray(buffer), np.uint8)
+            if width * height * 2 > flat.size:
+                return False
+            # packed Y0 U Y1 V: luma is every second byte starting at 0
+            img = (
+                flat[: width * height * 2]
+                .reshape(height, width, 2)[:, :, 0]
+                .astype(np.float32)
+            )
+        else:
+            img = self._to_gray_f32(buffer)
+
+        second = None
+        if stereo_layout == "top_bottom":
+            half = img.shape[0] // 2
+            img, second = img[:half], img[half:]
+        elif stereo_layout == "side_by_side":
+            half = img.shape[1] // 2
+            img, second = img[:, :half], img[:, half:]
+
         self.camera_queue.push(
             CameraQueueEntry(
-                timestamp=timestamp, image=img, camera_number=camera_number,
-                ros_timestamp=ros_timestamp,
+                timestamp=timestamp, image=img, image_second=second,
+                camera_number=camera_number, ros_timestamp=ros_timestamp,
             )
         )
         return True

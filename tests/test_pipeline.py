@@ -229,3 +229,71 @@ class TestManagerE2E:
         assert n_valid > 10, (st.frames_processed, n_valid, st.localization)
         assert st.keyframes >= 2
         assert st.landmarks > 100
+
+
+class TestPixelFormats:
+    def test_nv12_top_bottom(self):
+        from lpslam_tpu.pipeline.manager import SlamManager
+
+        mgr = SlamManager()
+        h, w = 8, 16  # stacked both-eyes frame
+        y = np.arange(h * w, dtype=np.uint8)
+        uv = np.full(h * w // 2, 128, np.uint8)
+        buf = np.concatenate([y, uv])
+        ok = mgr.add_image_from_buffer(
+            0.0, buf, pixel_format="nv12", stereo_layout="top_bottom",
+            width=w, height=h,
+        )
+        assert ok
+        entry = mgr.camera_queue.pop()
+        assert entry.image.shape == (4, 16)
+        assert entry.image_second.shape == (4, 16)
+        np.testing.assert_allclose(entry.image[0, :4], [0, 1, 2, 3])
+
+    def test_yuyv(self):
+        from lpslam_tpu.pipeline.manager import SlamManager
+
+        mgr = SlamManager()
+        h, w = 4, 8
+        packed = np.zeros((h, w, 2), np.uint8)
+        packed[:, :, 0] = 7   # luma
+        packed[:, :, 1] = 99  # chroma
+        ok = mgr.add_image_from_buffer(
+            0.0, packed.reshape(-1), pixel_format="yuyv", width=w, height=h
+        )
+        assert ok
+        entry = mgr.camera_queue.pop()
+        assert entry.image.shape == (4, 8)
+        assert (entry.image == 7).all()
+
+    def test_undersized_buffer_rejected(self):
+        from lpslam_tpu.pipeline.manager import SlamManager
+
+        mgr = SlamManager()
+        assert not mgr.add_image_from_buffer(
+            0.0, np.zeros(10, np.uint8), pixel_format="nv12", width=16, height=8
+        )
+
+
+class TestFileSource:
+    def test_reads_directory(self, tmp_path):
+        import cv2
+        from lpslam_tpu.pipeline.sources import FileImageSource
+        from lpslam_tpu.pipeline.queues import BoundedQueue
+
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / f"{i:03d}.png"),
+                        rng.integers(0, 255, (24, 32), np.uint8))
+        src = FileImageSource({"directory": str(tmp_path), "fps": 200.0})
+        q = BoundedQueue(maxsize=10)
+        src.start(q)
+        t0 = time.time()
+        got = []
+        while len(got) < 3 and time.time() - t0 < 10:
+            e = q.pop(timeout=0.5)
+            if e is not None:
+                got.append(e)
+        src.stop()
+        assert len(got) == 3
+        assert got[0].image.shape == (24, 32)
