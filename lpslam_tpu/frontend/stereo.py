@@ -134,6 +134,13 @@ class StereoTracker(MonoTracker):
         self.map = insert_keyframe_depth(
             self.map, self.pose, self.cam, feats, tr.kp_lm_idx, z, ok, self.frame_id
         )
+        # far points (beyond the depth threshold / without stereo match) get a
+        # second chance via two-view triangulation against the previous
+        # keyframe — the engine keeps 'far' stereo landmarks the same way
+        if int(self.map.n_kf) >= 2:
+            from .tracker import triangulate_new_landmarks, _jit_triangulate
+
+            self.map = _jit_triangulate(self.map, self.cam, self.cfg)
 
 
 class RGBDTracker(StereoTracker):

@@ -178,17 +178,29 @@ def insert_keyframe(
     )
     m = m._replace(lm_valid=m.lm_valid & ~poor)
 
-    ref = jnp.maximum(m.n_kf - 1, 0)
     m = insert_keyframe_slots(
         m, pose.R, pose.t, feats.xy, feats.desc, feats.valid, kp_lm_idx, frame_id
     )
+    return triangulate_new_landmarks(m, cam, cfg)
+
+
+def triangulate_new_landmarks(m: MapStore, cam: PinholeCamera, cfg: TrackerConfig) -> MapStore:
+    """Triangulate the newest keyframe's unassociated keypoints against the
+    previous keyframe and append surviving points as landmarks. Used by the
+    mono keyframe step and by the stereo path for beyond-depth-threshold
+    ('far') points the direct depth pipeline rejects."""
     k_new = m.n_kf - 1
+    ref = jnp.maximum(m.n_kf - 2, 0)
+    feats_xy = m.kf_uv[k_new]
+    feats_desc = m.kf_desc[k_new]
+    pose = SE3(m.kf_R[k_new], m.kf_t[k_new])
+    kp_lm_idx = m.kf_lm_idx[k_new]
 
     # --- match unassociated keypoints new <-> ref
-    new_unassoc = feats.valid & (kp_lm_idx < 0)
+    new_unassoc = m.kf_kp_valid[k_new] & (kp_lm_idx < 0)
     ref_unassoc = m.kf_kp_valid[ref] & (m.kf_lm_idx[ref] < 0)
     idx_ref, ok = match_mutual_nn(
-        feats.desc,
+        feats_desc,
         m.kf_desc[ref],
         new_unassoc,
         ref_unassoc,
@@ -198,7 +210,7 @@ def insert_keyframe(
 
     T_ref = SE3(m.kf_R[ref], m.kf_t[ref])
     uv_ref = m.kf_uv[ref][idx_ref]
-    pts, info = triangulate_midpoint(T_ref, pose, cam, uv_ref, feats.xy)
+    pts, info = triangulate_midpoint(T_ref, pose, cam, uv_ref, feats_xy)
 
     # quality gates
     uv1_hat = project_pinhole(
@@ -206,7 +218,7 @@ def insert_keyframe(
     )
     uv2_hat = project_pinhole(cam, jnp.einsum("ij,nj->ni", pose.R, pts) + pose.t)
     e1 = jnp.sum((uv1_hat - uv_ref) ** 2, -1)
-    e2 = jnp.sum((uv2_hat - feats.xy) ** 2, -1)
+    e2 = jnp.sum((uv2_hat - feats_xy) ** 2, -1)
     good = (
         ok
         & (info["z1"] > cfg.tri_min_depth)
@@ -226,13 +238,13 @@ def insert_keyframe(
     n_new = jnp.sum((slot < M) & good).astype(jnp.int32)
 
     lm_pos = m.lm_pos.at[slot].set(pts, mode="drop")
-    lm_desc = m.lm_desc.at[slot].set(feats.desc, mode="drop")
+    lm_desc = m.lm_desc.at[slot].set(feats_desc, mode="drop")
     lm_valid = m.lm_valid.at[slot].set(True, mode="drop")
     lm_n_obs = m.lm_n_obs.at[slot].set(2, mode="drop")
     lm_first_kf = m.lm_first_kf.at[slot].set(k_new, mode="drop")
 
     # associate both keyframes with the new landmarks
-    n_kp = feats.xy.shape[0]
+    n_kp = feats_xy.shape[0]
     slot_i32 = slot.astype(jnp.int32)
     new_lm_for_kp = jnp.where((slot < M) & good, slot_i32, -1)
     kf_lm_new = jnp.where(new_lm_for_kp >= 0, new_lm_for_kp, m.kf_lm_idx[k_new])
@@ -254,6 +266,11 @@ def insert_keyframe(
         kf_lm_idx=kf_lm_idx_all,
         n_lm=jnp.minimum(m.n_lm + n_new, M),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_triangulate(m: MapStore, cam: PinholeCamera, cfg: TrackerConfig) -> MapStore:
+    return triangulate_new_landmarks(m, cam, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
