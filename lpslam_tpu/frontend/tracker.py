@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..geometry.se3 import SE3, se3_compose, se3_inverse
 from ..geometry.camera import PinholeCamera, project_pinhole
 from ..kernels.orb import OrbParams, OrbFeatures, extract_orb
-from ..kernels.match import match_mutual_nn, match_projected
+from ..kernels.match import match_mutual_nn, match_projected, orientation_consistency
 from ..mapstore.store import MapStore, MapConfig, empty_map, insert_keyframe_slots
 from .pose_opt import pose_only_optimize
 from .triangulate import triangulate_midpoint
@@ -323,6 +323,8 @@ class MonoTracker:
             f0.desc, feats.desc, f0.valid, feats.valid,
             max_distance=self.cfg.match_max_hamming, ratio=0.85,
         )
+        # rotation-consistency histogram filter (engine check-orientation)
+        ok = orientation_consistency(f0.angle, feats.angle, idx, ok)
         n_matches = int(jnp.sum(ok))
         if n_matches < self.cfg.init_min_matches:
             return False

@@ -6,7 +6,6 @@ C++ API finds the same capabilities 1:1.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

@@ -6,5 +6,6 @@ from .match import (
     hamming_matrix_mxu,
     match_mutual_nn,
     match_projected,
+    orientation_consistency,
 )
 from .remap import remap_bilinear

@@ -71,7 +71,7 @@ def main(argv=None):
         mgr.set_camera_configuration(cam)
         mgr.add_tracker_by_name("VSLAM", {"mode": args.mode})
         mgr.on_reconstruction = on_reconstruction
-        mgr._record_enabled = args.record
+        mgr.set_recording(args.record)
         mgr.start()
         t0 = time.time()
         # wait for the source to finish AND the worker to drain (first frames
@@ -112,7 +112,7 @@ def main(argv=None):
     if args.replay:
         mgr.add_source_by_name("Replay", {"file": args.replay})
     mgr.on_reconstruction = on_reconstruction
-    mgr._record_enabled = args.record or mgr._record_enabled
+    mgr.set_recording(args.record or mgr._record_enabled)
     mgr.start()
     log.info("running — Ctrl-C to stop")
     try:

@@ -126,6 +126,10 @@ class SlamManager:
         for type_name, conf in cfg.trackers:
             self.add_tracker_by_name(type_name, conf)
 
+    def set_recording(self, enabled: bool) -> None:
+        """Enable/disable session recording before start()."""
+        self._record_enabled = bool(enabled)
+
     def set_camera_configuration(self, cam: CameraConfig):
         self.cameras[cam.number] = cam
 
