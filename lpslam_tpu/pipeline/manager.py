@@ -366,9 +366,17 @@ class SlamManager:
 
     def add_laser_scan(self, timestamp: float, ranges, angle_min, angle_increment,
                        range_max):
+        ex_R = ex_t = None
+        if self.request_nav_transformation is not None:
+            # host-app TF lookup: laser frame -> camera frame
+            # (OpenVSLAMStereoTracker laser extrinsics parity)
+            tf = self.request_nav_transformation(timestamp, "laser", "camera")
+            if tf is not None:
+                ex_t, ex_R = tf
         scan = LaserScan(
             timestamp=timestamp, ranges=np.asarray(ranges, np.float64),
             angle_min=angle_min, angle_increment=angle_increment, range_max=range_max,
+            extrinsic_R=ex_R, extrinsic_t=ex_t,
         )
         for tracker in self.trackers:
             tracker.add_laser_scan(scan)

@@ -43,6 +43,10 @@ class LaserScan:
     angle_min: float
     angle_increment: float
     range_max: float
+    # laser -> camera extrinsics (from the host app's nav-transformation
+    # callback, OpenVSLAMStereoTracker.cpp:235-287 parity); None = identity
+    extrinsic_R: np.ndarray = None
+    extrinsic_t: np.ndarray = None
 
 
 class TrackerBase:
@@ -355,10 +359,15 @@ class VSLAMTracker(TrackerBase):
             ok = (scan.ranges > 0) & (scan.ranges < scan.range_max)
             ex = scan.ranges[ok] * np.cos(angles[ok])
             ez = scan.ranges[ok] * np.sin(angles[ok])
+            pts_cam = np.stack([ex, np.zeros_like(ex), ez], 1)
+            if scan.extrinsic_R is not None:
+                pts_cam = pts_cam @ np.asarray(scan.extrinsic_R).T
+                if scan.extrinsic_t is not None:
+                    pts_cam = pts_cam + np.asarray(scan.extrinsic_t)
             R = np.asarray(m.kf_R[nk - 1])
             t = np.asarray(m.kf_t[nk - 1])
             ctr = -R.T @ t
-            pts_l = np.stack([ex, np.zeros_like(ex), ez], 1) @ R + ctr
+            pts_l = pts_cam @ R + ctr
             for c in to_cell(pts_l[:, [0, 2]]):
                 grid[c[1], c[0]] = 100
         return {"grid": grid, "origin": lo, "cell_size": cs}

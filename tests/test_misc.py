@@ -153,3 +153,31 @@ class TestDatasetRunner:
         assert rc == 0
         out = json.loads(buf.getvalue().strip())
         assert out["frames"] == 3
+
+
+class TestLaserExtrinsics:
+    def test_nav_transform_callback_applied(self):
+        from lpslam_tpu.geometry import PinholeCamera
+        from lpslam_tpu.pipeline.manager import SlamManager
+        from lpslam_tpu.pipeline.config import CameraConfig
+
+        mgr = SlamManager()
+        mgr.set_camera_configuration(
+            CameraConfig(number=0, fx=230.0, fy=230.0, cx=160.0, cy=120.0)
+        )
+        tr = mgr.add_tracker_by_name("VSLAM", {"mode": "mono", "keypoints": 64,
+                                               "max_keyframes": 4,
+                                               "max_landmarks": 128})
+        calls = []
+
+        def nav_tf(ts, frm, to):
+            calls.append((ts, frm, to))
+            R = np.eye(3)
+            return (np.asarray([0.1, 0.0, 0.0]), R)
+
+        mgr.request_nav_transformation = nav_tf
+        mgr.add_laser_scan(1.0, np.ones(8), 0.0, 0.1, 5.0)
+        assert calls == [(1.0, "laser", "camera")]
+        scan = tr._laser_buffer[-1]
+        assert scan.extrinsic_R is not None
+        np.testing.assert_allclose(scan.extrinsic_t, [0.1, 0, 0])
