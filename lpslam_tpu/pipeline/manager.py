@@ -456,6 +456,15 @@ class SlamManager:
             for sv in sensor_values:
                 if sv.kind == "imu":
                     self.recorder.store_imu(sv.timestamp, sv.acc, sv.gyro)
+                elif sv.kind == "global_state" and sv.state is not None:
+                    pos, R = sv.state
+                    from ..geometry.so3 import rot_to_quat
+                    import jax.numpy as _jnp
+
+                    q = np.asarray(rot_to_quat(_jnp.asarray(R, _jnp.float32)))
+                    self.recorder.store_global_state(
+                        sv.timestamp, pos, q, reference=sv.reference
+                    )
 
         # raw-frame dump every 10th frame (reference store-images debugging
         # path, SlamManager.cpp:73-84)
