@@ -73,18 +73,19 @@ def fast_score(img, threshold: float):
 
 
 def nms3x3(score):
-    """Keep only strict local maxima in each 3x3 neighborhood."""
-    neigh = [
-        _shift(score, dx, dy)
-        for dx in (-1, 0, 1)
-        for dy in (-1, 0, 1)
-        if not (dx == 0 and dy == 0)
-    ]
+    """Keep only local maxima in each 3x3 neighborhood, with deterministic
+    tie-breaking: on a score plateau the raster-first pixel survives (a pixel
+    is killed by an equal-scoring neighbor that precedes it in raster order,
+    and only by strictly greater neighbors that follow it)."""
     m = score
-    # break ties deterministically: a pixel survives if it is >= all
-    # neighbors and > the neighbors that come "before" it in raster order.
-    for i, n in enumerate(neigh):
-        m = jnp.where(n > score, 0.0, m)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            n = _shift(score, dx, dy)  # n[y,x] = score[y+dy, x+dx]
+            earlier = dy < 0 or (dy == 0 and dx < 0)
+            kill = (n >= score) if earlier else (n > score)
+            m = jnp.where(kill, 0.0, m)
     return m
 
 

@@ -3,8 +3,7 @@
 The reference saves/loads the engine's map database on stop/start
 (/root/reference/src/Trackers/OpenVSLAMTrackerBase.cpp:242-295, configurable
 via mappingSetFilename / mappingSetMode). The MapStore is a flat pytree of
-arrays, so persistence is a straight npz round-trip; orbax is used for
-sharded multi-host checkpoints (dist/ path) where each host writes its shard.
+arrays, so persistence is a straight npz round-trip (atomic via tmp+rename).
 """
 from __future__ import annotations
 

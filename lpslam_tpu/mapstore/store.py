@@ -12,10 +12,12 @@ with structure-of-arrays device buffers:
   exactly the (camera, point, uv) triplet list bundle adjustment consumes.
 
 Everything is a pytree of jnp arrays → it jits, shards (dist/ shards the K and
-M axes across hosts), and checkpoints (orbax) for the map.db save/load parity.
+M axes across hosts), and checkpoints (npz, mapstore/checkpoint.py) for the
+map.db save/load parity.
 
-Free-slot management is an append-only counter + ring reuse of invalidated
-slots handled by compaction (host-side, rare) — no device-side free lists.
+Free-slot management is an append-only counter; `compact_map` (host-side,
+rare) drops invalidated landmarks / culled keyframes and remaps indices so
+long sessions never hit the capacity walls.
 """
 from __future__ import annotations
 

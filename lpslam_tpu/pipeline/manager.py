@@ -53,6 +53,9 @@ class SlamStatus:
     frame_time: float = 0.0
     fps: float = 0.0
     frames_processed: int = 0
+    # last worker-thread exception (repr) — "" when healthy; the reference
+    # logs worker failures, here they are surfaced in the polled status too
+    error: str = ""
 
 
 SOURCE_REGISTRY = {
@@ -407,6 +410,10 @@ class SlamManager:
 
     def get_status(self) -> SlamStatus:
         st = SlamStatus(fps=self._fps.fps, frames_processed=self._frames)
+        for w in (self._worker, self._notify_worker, self._image_cb_worker):
+            if w is not None and w.error is not None:
+                st.error = repr(w.error)
+                break
         for tracker in self.trackers:
             s = tracker.status()
             if s:
@@ -446,10 +453,27 @@ class SlamManager:
                 break
 
         # host-app nav request (ROS TF lookup parity, SlamManager.cpp:148-185)
+        nav_map = None
         if self.request_nav_data is not None:
             nav = self.request_nav_data(entry.timestamp)
             if nav is not None:
-                nav_odom = nav
+                # host app may return odom only, or (odom, map) states
+                if isinstance(nav, tuple) and len(nav) == 2 and not isinstance(
+                    nav[0], np.ndarray
+                ):
+                    nav_odom, nav_map = nav
+                else:
+                    nav_odom = nav
+
+        # attach per-frame nav context to the entry (the reference stores
+        # state_odom/state_map on the CameraQueueEntry before recording and
+        # tracking — SlamManager.cpp:148-187)
+        if entry.state_odom is None and nav_odom is not None:
+            entry.state_odom = nav_odom
+        if entry.state_map is None and nav_map is not None:
+            entry.state_map = nav_map
+        if nav_map is None:
+            nav_map = entry.state_map
 
         if self._record_enabled:
             self.recorder.store_camera_image(entry)
@@ -483,7 +507,7 @@ class SlamManager:
 
         sent = False
         for tracker in self.trackers:
-            results = tracker.process_image(entry, nav_odom, None, sensor_values)
+            results = tracker.process_image(entry, nav_odom, nav_map, sensor_values)
             for res in results:
                 rq = ResultQueueEntry(
                     timestamp=res.timestamp,

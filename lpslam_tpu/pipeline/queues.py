@@ -9,6 +9,7 @@ stop/stopAsync semantics.
 """
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 import time
@@ -16,6 +17,8 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 import numpy as np
+
+_log = logging.getLogger("lpslam_tpu")
 
 
 @dataclass
@@ -92,6 +95,12 @@ class ManagedThread:
         self._name = name
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # last exception raised by an iteration (surfaced via .error /
+        # SlamManager.get_status) — the reference's worker lambda logs and
+        # keeps the thread alive; an unhandled exception must never silently
+        # kill the pipeline (it has no other failure signal).
+        self.error: Optional[BaseException] = None
+        self.error_count: int = 0
 
     @property
     def stopped(self) -> bool:
@@ -104,7 +113,19 @@ class ManagedThread:
 
         def loop():
             while not self._stop.is_set():
-                self._fn(self)
+                try:
+                    self._fn(self)
+                except Exception as exc:  # noqa: BLE001 — worker must survive
+                    self.error = exc
+                    self.error_count += 1
+                    if self.error_count <= 3:
+                        _log.exception("worker '%s' iteration failed", self._name)
+                    elif self.error_count % 100 == 0:
+                        _log.error(
+                            "worker '%s' still failing (%d errors): %r",
+                            self._name, self.error_count, exc,
+                        )
+                    time.sleep(0.01)  # don't spin hot on a persistent failure
 
         self._thread = threading.Thread(target=loop, name=self._name, daemon=True)
         self._thread.start()

@@ -43,6 +43,65 @@ def _int_to_ts(t: int) -> float:
     return t / 1e9
 
 
+def _quat_to_rot_np(w, x, y, z) -> np.ndarray:
+    """wxyz quaternion -> 3x3 rotation matrix (host-side numpy)."""
+    n = max(np.sqrt(w * w + x * x + y * y + z * z), 1e-12)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def _rot_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> wxyz quaternion (host-side numpy)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def pb_state_to_tuple(gs) -> tuple:
+    """Normalize a pb.GlobalState message into the (position, rotation-matrix)
+    tuple every live consumer uses (SensorQueueEntry.state convention of
+    SyntheticSource / SlamManager.add_global_state)."""
+    p = gs.position
+    q = gs.orientation
+    return (
+        np.array([p.x, p.y, p.z], np.float64),
+        _quat_to_rot_np(q.w, q.x, q.y, q.z),
+    )
+
+
+def tuple_to_pb_state(state) -> pb.GlobalState:
+    """(position, rotation-matrix) tuple -> pb.GlobalState message."""
+    pos, R = state
+    q = _rot_to_quat_np(R)
+    return pb.GlobalState(
+        position=pb.Vec3Sigma(x=float(pos[0]), y=float(pos[1]), z=float(pos[2])),
+        orientation=pb.Orientation(
+            w=float(q[0]), x=float(q[1]), y=float(q[2]), z=float(q[3])
+        ),
+    )
+
+
 class RecordEngine:
     """Async recorder: entries are queued and serialized on a worker thread."""
 
@@ -83,10 +142,19 @@ class RecordEngine:
     # -- store API (called from the pipeline worker thread) -----------------
 
     def store_camera_image(self, entry: CameraQueueEntry):
+        """Persist the frame with its per-frame nav context (fields 4/5/11/12
+        of CameraImage, matching the reference's storeCameraImage —
+        /root/reference/src/Manager/RecordEngine.cpp:274-301)."""
         msg = pb.CameraImage(
             timestamp=_ts_to_int(entry.timestamp),
             camera_number=entry.camera_number,
         )
+        if entry.state_odom is not None:
+            msg.state_odom = tuple_to_pb_state(entry.state_odom)
+            msg.has_state_odom = True
+        if entry.state_map is not None:
+            msg.state_map = tuple_to_pb_state(entry.state_map)
+            msg.has_state_map = True
         if self.record_images:
             msg.image_data = _encode_jpeg(entry.image, self.jpeg_quality)
             if entry.image_second is not None:
@@ -184,6 +252,16 @@ class ReplayEngine:
                         image=img,
                         image_second=second,
                         camera_number=msg.camera_number,
+                        state_odom=(
+                            pb_state_to_tuple(msg.state_odom)
+                            if msg.has_state_odom and msg.state_odom is not None
+                            else None
+                        ),
+                        state_map=(
+                            pb_state_to_tuple(msg.state_map)
+                            if msg.has_state_map and msg.state_map is not None
+                            else None
+                        ),
                     ),
                     drop_oldest=False,
                 )
@@ -198,11 +276,13 @@ class ReplayEngine:
                     )
                 )
             elif msg_type == pb.MSG_SENSOR_GLOBAL_STATE and self._sensor_queue is not None:
+                # normalize to the (position, rotation-matrix) tuple every
+                # live consumer expects (manager.add_global_state convention)
                 self._sensor_queue.push(
                     SensorQueueEntry(
                         timestamp=_int_to_ts(msg.timestamp),
                         kind="global_state",
-                        state=msg.state,
+                        state=pb_state_to_tuple(msg.state),
                         reference=msg.reference,
                     )
                 )

@@ -49,6 +49,21 @@ class LaserScan:
     extrinsic_t: np.ndarray = None
 
 
+def create_tracker_result_pose(R: np.ndarray, t: np.ndarray):
+    """Tcw (optical frame) -> (position, orientation_wxyz) in the lpslam
+    frame, matching the reference's createTrackerResult exactly
+    (/root/reference/src/Trackers/OpenVSLAMTrackerBase.cpp:307-329):
+    position = optical->lpslam swap of the camera center −RᵀT t;
+    orientation = quaternion of rot_cw with components (w, −y, x, z)."""
+    from ..geometry.so3 import rot_to_quat
+
+    center_opt = -R.T @ t
+    center_lp = np.asarray(optical_to_lpslam(center_opt))
+    q_cw = np.asarray(rot_to_quat(R))
+    q = np.array([q_cw[0], -q_cw[2], q_cw[1], q_cw[3]])
+    return center_lp, q
+
+
 class TrackerBase:
     schema = ConfigOptions()
 
@@ -196,15 +211,11 @@ class VSLAMTracker(TrackerBase):
 
         if pose is None:
             return []
-        # optical -> lpslam frame conversion at the boundary, like
+        # optical -> lpslam frame conversion at the boundary, matching
         # createTrackerResult (OpenVSLAMTrackerBase.cpp:307-329)
-        R = np.asarray(pose.R)
-        t = np.asarray(pose.t)
-        center_opt = -R.T @ t
-        center_lp = np.asarray(optical_to_lpslam(center_opt))
-        from ..geometry.so3 import rot_to_quat
-
-        q = np.asarray(rot_to_quat(R.T))
+        center_lp, q = create_tracker_result_pose(
+            np.asarray(pose.R), np.asarray(pose.t)
+        )
         return [
             TrackerResult(
                 timestamp=entry.timestamp,
