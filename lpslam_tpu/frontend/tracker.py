@@ -28,7 +28,13 @@ from ..geometry.se3 import SE3, se3_compose, se3_inverse
 from ..geometry.camera import PinholeCamera, project_pinhole
 from ..kernels.orb import OrbParams, OrbFeatures, extract_orb
 from ..kernels.match import match_mutual_nn, match_projected, orientation_consistency
-from ..mapstore.store import MapStore, MapConfig, empty_map, insert_keyframe_slots
+from ..mapstore.store import (
+    MapStore,
+    MapConfig,
+    empty_map,
+    insert_keyframe_slots,
+    cull_and_compact,
+)
 from .pose_opt import pose_only_optimize
 from .triangulate import triangulate_midpoint
 from .init2v import two_view_init_homography
@@ -63,6 +69,15 @@ class TrackerConfig(NamedTuple):
     # with the newest join (and anchor) the window; falls back to temporal
     # anchors when no older covisible keyframes exist yet
     local_ba_covisibility: bool = True
+    # keyframe culling + compaction (engine mapping-module map maintenance):
+    # after each keyframe insertion, keyframes whose landmarks are seen by
+    # >= kf_cull_min_other_obs other keyframes at >= kf_cull_redundancy
+    # fraction are dropped and the store is compacted, so long sessions
+    # never hit the fixed-capacity walls
+    kf_culling: bool = True
+    kf_cull_redundancy: float = 0.9
+    kf_cull_min_other_obs: int = 3
+    kf_cull_keep_latest: int = 3
     # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
     # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
     # (prediction error feeds match selection feeds the next pose): with gain
@@ -303,6 +318,10 @@ class MonoTracker:
         self._init_feats: Optional[OrbFeatures] = None
         self._init_frame_id = -1
         self.trajectory: list = []  # (frame_id, SE3 Tcw, status)
+        # compaction events since last drain: (kf_order np array, n_kf after).
+        # Host-side side tables keyed by keyframe slot (loop-closer BoW rows)
+        # consume these to stay aligned with the compacted store.
+        self._compactions: list = []
 
     # -- internal helpers ---------------------------------------------------
 
@@ -472,6 +491,10 @@ class MonoTracker:
                 )
                 self.status = TrackerStatus.TRACKING
                 if self._keyframe_needed(n_inl) and self.mapping_enabled:
+                    if int(self.map.n_kf) >= self.cfg.map_cfg.max_keyframes - 1:
+                        # capacity pressure: force-drop the most redundant
+                        # keyframe so insertion always has a free slot
+                        self._compact(force_min_one=True)
                     if int(self.map.n_kf) < self.cfg.map_cfg.max_keyframes:
                         self._do_insert_keyframe(feats, tr, aux)
                         if self.cfg.local_ba_window > 0:
@@ -487,6 +510,8 @@ class MonoTracker:
                             # its BA-refined pose
                             k = self.map.n_kf - 1
                             self.pose = SE3(self.map.kf_R[k], self.map.kf_t[k])
+                        if self.cfg.kf_culling:
+                            self._compact()
                         self.last_kf_frame = self.frame_id
                         self.inliers_at_last_kf = max(n_inl, 1)
                 self._record(self.pose)
@@ -507,6 +532,28 @@ class MonoTracker:
             self.map, self.pose, self.cam, feats,
             tr.kp_lm_idx, self.frame_id, self.cfg,
         )
+
+    def _compact(self, force_min_one: bool = False):
+        """Cull redundant keyframes + compact; record the slot permutation
+        for host-side side tables (loop-closer BoW database)."""
+        res = cull_and_compact(
+            self.map,
+            keep_latest=self.cfg.kf_cull_keep_latest,
+            redundancy=self.cfg.kf_cull_redundancy,
+            min_other_obs=self.cfg.kf_cull_min_other_obs,
+            force_min_one=force_min_one,
+        )
+        changed = int(res.n_kf_culled) > 0 or int(res.map.n_lm) != int(self.map.n_lm)
+        if changed:
+            self._compactions.append(
+                (np.asarray(res.kf_order), int(res.map.n_kf))
+            )
+        self.map = res.map
+
+    def drain_compactions(self) -> list:
+        """Return and clear compaction events since the last drain."""
+        ev, self._compactions = self._compactions, []
+        return ev
 
     def _record(self, pose):
         self.trajectory.append(

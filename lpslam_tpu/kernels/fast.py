@@ -73,19 +73,21 @@ def fast_score(img, threshold: float):
 
 
 def nms3x3(score):
-    """Keep only local maxima in each 3x3 neighborhood, with deterministic
-    tie-breaking: on a score plateau the raster-first pixel survives (a pixel
-    is killed by an equal-scoring neighbor that precedes it in raster order,
-    and only by strictly greater neighbors that follow it)."""
+    """Suppress pixels with a strictly greater 3x3 neighbor. Deterministic
+    (pure function of the score map); on an exact score plateau ALL plateau
+    maxima survive — measured to track better than unique-survivor
+    tie-breaking because window-constrained matching can then pick the
+    plateau pixel that is geometrically consistent across views (plateaus
+    sample at different subpixel phases in each image, so forcing a single
+    survivor injects ±1 px correspondence error). Final keypoint order is
+    resolved deterministically by select_topk_grid."""
     m = score
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
             n = _shift(score, dx, dy)  # n[y,x] = score[y+dy, x+dx]
-            earlier = dy < 0 or (dy == 0 and dx < 0)
-            kill = (n >= score) if earlier else (n > score)
-            m = jnp.where(kill, 0.0, m)
+            m = jnp.where(n > score, 0.0, m)
     return m
 
 

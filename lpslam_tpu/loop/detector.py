@@ -59,6 +59,16 @@ class LoopCloser:
         self.n = max(self.n, k + 1)
         return v
 
+    def remap(self, kf_order, n_kf: int):
+        """Realign the BoW database after a MapStore compaction: row for new
+        slot i comes from old slot kf_order[i]; rows beyond the surviving
+        keyframe count are zeroed."""
+        kf_order = jnp.asarray(kf_order)
+        db = self.db[kf_order]
+        rows = jnp.arange(db.shape[0]) < n_kf
+        self.db = jnp.where(rows[:, None], db, 0.0)
+        self.n = min(self.n, int(n_kf))
+
     def detect(self, m: MapStore, k_new: int) -> int:
         """Returns candidate keyframe index or −1."""
         v = self.db[k_new]

@@ -21,8 +21,10 @@ long sessions never hit the capacity walls.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -110,3 +112,146 @@ def insert_keyframe_slots(
         lm_n_obs=m.lm_n_obs + obs_bump,
         n_kf=m.n_kf + 1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling + compaction (the engine's mapping-module map maintenance:
+# OpenVSLAM culls keyframes whose landmarks are redundantly observed and
+# erases dead landmarks, which is what keeps long sessions inside a bounded
+# map. Here both are fused into one static-shape device program: flag
+# redundant keyframes, drop orphaned landmarks, then stably partition valid
+# entries to the front of the fixed-capacity arrays and remap all indices.)
+# ---------------------------------------------------------------------------
+
+
+class CompactResult(NamedTuple):
+    map: MapStore
+    kf_order: jnp.ndarray     # (K,) new slot -> old slot permutation
+    lm_order: jnp.ndarray     # (M,) new slot -> old slot permutation
+    n_kf_culled: jnp.ndarray  # () int32
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keep_latest", "force_min_one")
+)
+def cull_and_compact(
+    m: MapStore,
+    keep_latest: int = 3,
+    redundancy: float = 0.9,
+    min_other_obs: int = 3,
+    force_min_one: bool = False,
+) -> CompactResult:
+    """Cull redundant keyframes, drop orphaned landmarks, compact the store.
+
+    A keyframe is redundant when >= `redundancy` of its associated landmarks
+    are observed by >= `min_other_obs` other keyframes (OpenVSLAM's
+    local-map-cleaner rule). The newest `keep_latest` keyframes and the two
+    oldest (monocular gauge anchors) are protected. With `force_min_one`,
+    the single most redundant cullable keyframe is dropped even below the
+    threshold — the capacity-pressure escape hatch.
+
+    Returns the compacted map plus the (new -> old) slot permutations so
+    host-side side tables (e.g. the loop-closer's BoW database rows) can be
+    remapped: ``db_new = db_old[kf_order]``.
+    """
+    K, N = m.kf_lm_idx.shape
+    M = m.lm_pos.shape[0]
+    kf_ids = jnp.arange(K, dtype=jnp.int32)
+
+    # --- 1. flag redundant keyframes
+    has = (m.kf_lm_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    obs = m.lm_n_obs[jnp.maximum(m.kf_lm_idx, 0)]          # (K, N)
+    red = has & (obs >= min_other_obs + 1)
+    n_has = jnp.sum(has, axis=1)
+    frac = jnp.sum(red, axis=1) / jnp.maximum(n_has, 1).astype(jnp.float32)
+    protected = (kf_ids >= m.n_kf - keep_latest) | (kf_ids < 2)
+    cullable = m.kf_valid & ~protected & (n_has > 0)
+    # Cull AT MOST ONE keyframe per pass: the redundancy of each candidate is
+    # computed assuming every other keyframe survives, so a mass cull would
+    # over-drop covisible groups (the engine's cleaner also culls
+    # incrementally). The pass runs on every keyframe insertion, so the
+    # sustained cull rate still matches the insert rate.
+    if force_min_one:
+        score = jnp.where(cullable, frac, -1.0)
+    else:
+        score = jnp.where(cullable & (frac >= redundancy), frac, -1.0)
+    best = jnp.argmax(score)
+    cull = (kf_ids == best) & (jnp.max(score) >= 0.0)
+    n_culled = jnp.sum(cull).astype(jnp.int32)
+
+    # --- 2. decrement landmark observation counts for culled keyframes
+    dec_src = (has & cull[:, None]).astype(jnp.int32).reshape(-1)
+    dec = jax.ops.segment_sum(
+        dec_src, jnp.maximum(m.kf_lm_idx, 0).reshape(-1), num_segments=M
+    )
+    lm_n_obs = m.lm_n_obs - dec
+    lm_valid = m.lm_valid & (lm_n_obs > 0)
+    kf_valid = m.kf_valid & ~cull
+
+    # --- 3. landmark compaction: stable partition valid-first + index remap
+    lm_order = jnp.argsort(~lm_valid, stable=True)          # new -> old
+    lm_new_of = jnp.where(
+        lm_valid, jnp.cumsum(lm_valid.astype(jnp.int32)) - 1, -1
+    )                                                       # old -> new
+    lm_valid_c = lm_valid[lm_order]
+    keep = lm_valid_c[:, None]
+    lm_pos = jnp.where(keep, m.lm_pos[lm_order], 0.0)
+    lm_desc = jnp.where(keep, m.lm_desc[lm_order], 0)
+    lm_n_obs_c = jnp.where(lm_valid_c, lm_n_obs[lm_order], 0)
+    lm_first_kf = m.lm_first_kf[lm_order]
+    lm_n_visible = jnp.where(lm_valid_c, m.lm_n_visible[lm_order], 0)
+    lm_n_found = jnp.where(lm_valid_c, m.lm_n_found[lm_order], 0)
+    n_lm = jnp.sum(lm_valid).astype(jnp.int32)
+
+    # --- 4. keyframe compaction
+    kf_order = jnp.argsort(~kf_valid, stable=True)          # new -> old
+    kf_new_of = jnp.where(
+        kf_valid, jnp.cumsum(kf_valid.astype(jnp.int32)) - 1, -1
+    )                                                       # old -> new
+    kf_valid_c = kf_valid[kf_order]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=m.kf_R.dtype), (K, 3, 3))
+    kf_R = jnp.where(kf_valid_c[:, None, None], m.kf_R[kf_order], eye)
+    kf_t = jnp.where(kf_valid_c[:, None], m.kf_t[kf_order], 0.0)
+    kf_frame_id = jnp.where(kf_valid_c, m.kf_frame_id[kf_order], -1)
+    kf_uv = jnp.where(kf_valid_c[:, None, None], m.kf_uv[kf_order], 0.0)
+    kf_desc = jnp.where(kf_valid_c[:, None, None], m.kf_desc[kf_order], 0)
+    kf_kp_valid = m.kf_kp_valid[kf_order] & kf_valid_c[:, None]
+    n_kf = jnp.sum(kf_valid).astype(jnp.int32)
+
+    # remap keyframe->landmark associations through both permutations
+    old_lm = m.kf_lm_idx[kf_order]
+    assoc = (old_lm >= 0) & lm_valid[jnp.maximum(old_lm, 0)] & kf_valid_c[:, None]
+    kf_lm_idx = jnp.where(assoc, lm_new_of[jnp.maximum(old_lm, 0)], -1)
+
+    # re-anchor landmarks whose first keyframe was culled to the nearest
+    # surviving earlier keyframe (falling back to the first surviving one) —
+    # lm_first_kf drives loop-closure landmark re-anchoring
+    last_valid_upto = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(kf_valid, kf_ids, -1)
+    )
+    first_valid = jnp.argmax(kf_valid).astype(jnp.int32)
+    fk = jnp.clip(lm_first_kf, 0, K - 1)
+    fk_alive = kf_valid[fk]
+    fk2 = jnp.where(fk_alive, fk, jnp.maximum(last_valid_upto[fk], first_valid))
+    lm_first_kf = jnp.where(lm_valid_c, kf_new_of[fk2], -1)
+
+    out = m._replace(
+        lm_pos=lm_pos,
+        lm_desc=lm_desc,
+        lm_valid=lm_valid_c,
+        lm_n_obs=lm_n_obs_c,
+        lm_first_kf=lm_first_kf,
+        lm_n_visible=lm_n_visible,
+        lm_n_found=lm_n_found,
+        kf_R=kf_R,
+        kf_t=kf_t,
+        kf_valid=kf_valid_c,
+        kf_frame_id=kf_frame_id,
+        kf_uv=kf_uv,
+        kf_desc=kf_desc,
+        kf_kp_valid=kf_kp_valid,
+        kf_lm_idx=kf_lm_idx,
+        n_kf=n_kf,
+        n_lm=n_lm,
+    )
+    return CompactResult(out, kf_order, lm_order, n_culled)

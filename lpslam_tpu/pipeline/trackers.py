@@ -194,6 +194,8 @@ class VSLAMTracker(TrackerBase):
                     vocab = load_vocabulary(self.cfg["vocab_file"])
                     self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
             self._maybe_close_loop()
+        else:
+            self.engine.drain_compactions()  # no slot-keyed side tables to fix
 
         if st == TrackerStatus.LOST:
             if self._lost_since is None:
@@ -225,9 +227,23 @@ class VSLAMTracker(TrackerBase):
             )
         ]
 
+    def _sync_compactions(self):
+        """Consume MapStore compaction events: remap the loop-closer BoW
+        database rows and the pending-keyframe cursor through the keyframe
+        slot permutation."""
+        for kf_order, n_kf_after in self.engine.drain_compactions():
+            if self.loop_closer is not None:
+                self.loop_closer.remap(kf_order, n_kf_after)
+            # surviving old slots (in order) are kf_order[:n_kf_after]; the
+            # new pending cursor counts how many of them were already added
+            self._loop_pending_kfs = int(
+                np.sum(kf_order[:n_kf_after] < self._loop_pending_kfs)
+            )
+
     def _maybe_close_loop(self):
         import jax.numpy as jnp
 
+        self._sync_compactions()
         nk = self.engine.n_keyframes
         if nk <= self._loop_pending_kfs:
             return

@@ -1,0 +1,151 @@
+"""Keyframe culling + map compaction (engine mapping-module map maintenance:
+redundant-KF cull, orphan-landmark drop, index remap, capacity boundedness)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lpslam_tpu.mapstore.store import (
+    MapConfig,
+    empty_map,
+    insert_keyframe_slots,
+    cull_and_compact,
+)
+
+
+def _make_map(n_kf=6, n_lm=20, n_kp=8, seed=0, cfg=None):
+    """Map where every keyframe observes every landmark slot round-robin."""
+    rng = np.random.default_rng(seed)
+    cfg = cfg or MapConfig(max_keyframes=16, max_landmarks=64, num_keypoints=n_kp)
+    m = empty_map(cfg)
+    pos = rng.normal(0, 1, (n_lm, 3)).astype(np.float32)
+    desc = rng.integers(0, 2**32, (n_lm, 8), dtype=np.uint32)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[:n_lm].set(jnp.asarray(pos)),
+        lm_desc=m.lm_desc.at[:n_lm].set(jnp.asarray(desc)),
+        lm_valid=m.lm_valid.at[:n_lm].set(True),
+        lm_first_kf=m.lm_first_kf.at[:n_lm].set(0),
+        n_lm=jnp.int32(n_lm),
+    )
+    for k in range(n_kf):
+        lm_idx = np.arange(n_kp, dtype=np.int32) + (k % 2)  # heavy overlap
+        uv = rng.uniform(0, 100, (n_kp, 2)).astype(np.float32)
+        m = insert_keyframe_slots(
+            m,
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.asarray([0.1 * k, 0.0, 0.0], jnp.float32),
+            jnp.asarray(uv),
+            jnp.asarray(desc[lm_idx]),
+            jnp.ones((n_kp,), bool),
+            jnp.asarray(lm_idx),
+            k,
+        )
+    return m, pos
+
+
+class TestCullAndCompact:
+    def test_redundant_keyframe_is_culled(self):
+        m, _ = _make_map(n_kf=8)
+        # every middle keyframe's landmarks are observed by ~4 others
+        res = cull_and_compact(m, keep_latest=2, redundancy=0.9, min_other_obs=3)
+        assert int(res.n_kf_culled) > 0
+        assert int(res.map.n_kf) == 8 - int(res.n_kf_culled)
+        # protected: first two + newest two survive
+        fid = np.asarray(res.map.kf_frame_id)[: int(res.map.n_kf)]
+        assert 0 in fid and 1 in fid and 6 in fid and 7 in fid
+
+    def test_indices_stay_consistent(self):
+        m, pos = _make_map(n_kf=8)
+        res = cull_and_compact(m, keep_latest=2)
+        m2 = res.map
+        nk, nl = int(m2.n_kf), int(m2.n_lm)
+        # valid flags are a prefix
+        assert np.asarray(m2.kf_valid)[:nk].all()
+        assert not np.asarray(m2.kf_valid)[nk:].any()
+        assert np.asarray(m2.lm_valid)[:nl].all()
+        assert not np.asarray(m2.lm_valid)[nl:].any()
+        # every keyframe association still points at the same 3D point:
+        # desc stored in the keyframe slot equals the landmark's descriptor
+        kf_lm = np.asarray(m2.kf_lm_idx)
+        kf_desc = np.asarray(m2.kf_desc)
+        lm_desc = np.asarray(m2.lm_desc)
+        for k in range(nk):
+            for n in range(kf_lm.shape[1]):
+                l = kf_lm[k, n]
+                if l >= 0:
+                    assert l < nl
+                    assert (kf_desc[k, n] == lm_desc[l]).all()
+        # temporal order preserved
+        fid = np.asarray(m2.kf_frame_id)[:nk]
+        assert (np.diff(fid) > 0).all()
+        # lm_first_kf points at a valid surviving keyframe
+        first = np.asarray(m2.lm_first_kf)[:nl]
+        assert (first >= 0).all() and (first < nk).all()
+
+    def test_orphaned_landmarks_dropped(self):
+        cfg = MapConfig(max_keyframes=16, max_landmarks=64, num_keypoints=8)
+        m = empty_map(cfg)
+        rng = np.random.default_rng(1)
+        desc = rng.integers(0, 2**32, (8, 8), dtype=np.uint32)
+        m = m._replace(
+            lm_pos=m.lm_pos.at[:8].set(1.0),
+            lm_desc=m.lm_desc.at[:8].set(jnp.asarray(desc)),
+            lm_valid=m.lm_valid.at[:8].set(True),
+            lm_first_kf=m.lm_first_kf.at[:8].set(0),
+            n_lm=jnp.int32(8),
+        )
+        # landmark 7 never observed by any keyframe -> n_obs 0 -> dropped
+        for k in range(3):
+            lm_idx = np.full((8,), -1, np.int32)
+            lm_idx[:7] = np.arange(7)
+            m = insert_keyframe_slots(
+                m, jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+                jnp.zeros((8, 2), jnp.float32), jnp.asarray(desc),
+                jnp.ones((8,), bool), jnp.asarray(lm_idx), k,
+            )
+        res = cull_and_compact(m)
+        assert int(res.map.n_lm) == 7
+
+    def test_force_min_one_under_capacity_pressure(self):
+        m, _ = _make_map(n_kf=8)
+        # absurd threshold: nothing qualifies, but force drops exactly one
+        res = cull_and_compact(m, keep_latest=2, redundancy=2.0, force_min_one=True)
+        assert int(res.n_kf_culled) == 1
+
+    def test_noop_when_nothing_to_cull(self):
+        m, _ = _make_map(n_kf=3)  # too few: all protected
+        res = cull_and_compact(m, keep_latest=2)
+        assert int(res.n_kf_culled) == 0
+        assert int(res.map.n_kf) == 3
+        np.testing.assert_array_equal(
+            np.asarray(res.kf_order)[:3], [0, 1, 2]
+        )
+
+
+class TestTrackerBounded:
+    def test_long_run_stays_under_capacity(self):
+        """A long synthetic run with a small keyframe budget must keep
+        tracking without hitting the capacity wall (VERDICT r1 item 4)."""
+        from lpslam_tpu.frontend.tracker import MonoTracker, TrackerConfig, TrackerStatus
+        from lpslam_tpu.geometry import PinholeCamera
+        from lpslam_tpu.kernels.orb import OrbParams
+        from lpslam_tpu.io.synthetic import make_sequence
+
+        seq = make_sequence(num_frames=120, h=240, w=320, seed=3, motion="orbit")
+        cam = PinholeCamera.make(
+            seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2]
+        )
+        cfg = TrackerConfig(
+            orb=OrbParams(num_keypoints=384, num_levels=2),
+            map_cfg=MapConfig(max_keyframes=12, max_landmarks=4096,
+                              num_keypoints=384),
+            kf_max_interval=4,  # force frequent keyframes to stress capacity
+        )
+        tr = MonoTracker(cam, cfg)
+        statuses = []
+        for t in range(len(seq.images)):
+            st, _ = tr.process(seq.images[t])
+            statuses.append(st)
+            assert tr.n_keyframes <= 12
+        # ~30 keyframe insertions happened into a 12-slot budget
+        n_tracked = sum(1 for s in statuses if s == TrackerStatus.TRACKING)
+        assert n_tracked > 90, f"tracking collapsed: {n_tracked}/120"

@@ -185,16 +185,22 @@ class TestManagedThreadErrors:
 
 
 class TestNmsTieBreak:
-    def test_plateau_keeps_exactly_one(self):
+    def test_plateau_maxima_all_survive_deterministically(self):
+        """Plateau policy (see nms3x3 docstring): equal maxima all survive;
+        the result is a pure function of the score map."""
         import jax.numpy as jnp
         from lpslam_tpu.kernels.fast import nms3x3
 
         score = np.zeros((12, 12), np.float32)
         score[5, 5] = score[5, 6] = score[6, 5] = score[6, 6] = 7.0  # 2x2 plateau
-        out = np.asarray(nms3x3(jnp.asarray(score)))
-        assert (out > 0).sum() == 1
-        # raster-first survivor
-        assert out[5, 5] == 7.0
+        out1 = np.asarray(nms3x3(jnp.asarray(score)))
+        out2 = np.asarray(nms3x3(jnp.asarray(score)))
+        np.testing.assert_array_equal(out1, out2)
+        assert (out1 > 0).sum() == 4
+        # a strictly-greater neighbor still kills the whole plateau
+        score[5, 4] = 8.0
+        out3 = np.asarray(nms3x3(jnp.asarray(score)))
+        assert out3[5, 5] == 0.0 and out3[6, 5] == 0.0
 
     def test_strict_maximum_survives(self):
         import jax.numpy as jnp
