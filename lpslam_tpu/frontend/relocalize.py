@@ -49,45 +49,69 @@ def pnp_dlt(p_w, uv_n, w):
     v = vecs[:, 0]                                          # smallest eigval
     P = v.reshape(3, 4)
 
-    def extract(Pm):
-        M3 = Pm[:, :3]
-        U, S, Vt = jnp.linalg.svd(M3)
-        d = jnp.linalg.det(U @ Vt)
-        R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0], M3.dtype) * jnp.array([1.0, 1.0, d])) @ Vt
-        lam = jnp.mean(S)
-        t = Pm[:, 3] / jnp.maximum(lam, 1e-12) * d
-        # d folds the det sign into t so that λ [R|t] ≈ P consistently
-        return SE3(R, t)
-
-    Tp = extract(P)
-    Tm = extract(-P)
-
-    def depth_score(T):
-        z = (jnp.einsum("ij,nj->ni", T.R, p_w) + T.t)[:, 2]
-        return jnp.sum(jnp.where(w > 0, (z > 0).astype(jnp.float32), 0.0))
-
-    use_p = depth_score(Tp) >= depth_score(Tm)
-    return SE3(
-        jnp.where(use_p, Tp.R, Tm.R),
-        jnp.where(use_p, Tp.t, Tm.t),
-    )
+    # The DLT solution is λ[R|t] with λ of either sign; det(M3) = λ³ det(R),
+    # so flipping P to make det positive resolves the sign uniquely (the
+    # nearest-rotation projection of a NEGATIVE multiple of R would be a
+    # 180°-flipped rotation, not −R — the sign must be fixed BEFORE the SVD).
+    s = jnp.sign(jnp.linalg.det(P[:, :3]))
+    P = P * jnp.where(s == 0, 1.0, s)
+    M3 = P[:, :3]
+    U, S, Vt = jnp.linalg.svd(M3)
+    d = jnp.linalg.det(U @ Vt)  # +1 generically after the sign fix
+    R = U @ jnp.diag(jnp.stack([1.0 + 0 * d, 1.0 + 0 * d, d])) @ Vt
+    lam = jnp.mean(S)
+    t = P[:, 3] / jnp.maximum(lam, 1e-12)
+    return SE3(R, t)
 
 
 def pnp_irls(p_w, uv, valid, cam: PinholeCamera, iters: int = 6,
-             huber_px: float = 4.0):
-    """Robust PnP: DLT with iteratively-reweighted geometric residuals (the
-    static-shape replacement for RANSAC hypothesis loops)."""
+             huber_px: float = 4.0, n_hypotheses: int = 64,
+             inlier_px: float = 6.0):
+    """Robust PnP: a batched fixed-shape hypothesis sweep (the TPU-native
+    RANSAC — `n_hypotheses` random 8-point DLT solves vmapped in one program,
+    scored by reprojection-inlier count) followed by IRLS-weighted DLT polish
+    on the winning consensus set. No data-dependent control flow."""
     uv_n = jnp.stack(
         [(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy], -1
     )
-    w0 = valid.astype(jnp.float32)
+    w_valid = valid.astype(jnp.float32)
+    n = p_w.shape[0]
 
+    # --- hypothesis sweep: sample valid indices, solve minimal DLTs in vmap
+    key = jax.random.PRNGKey(0)
+    p = w_valid / jnp.maximum(jnp.sum(w_valid), 1.0)
+    idx = jax.random.choice(
+        key, n, shape=(n_hypotheses, 8), replace=True, p=p
+    )
+
+    def solve_one(sel):
+        w = jnp.zeros((n,), jnp.float32).at[sel].add(1.0)
+        return pnp_dlt(p_w, uv_n, w)
+
+    hyps = jax.vmap(solve_one)(idx)                         # SE3 batch
+
+    def score_one(R, t):
+        p_c = jnp.einsum("ij,nj->ni", R, p_w) + t
+        uv_hat = project_pinhole(cam, p_c)
+        rn = jnp.linalg.norm(uv_hat - uv, axis=-1)
+        inl = valid & (p_c[:, 2] > 1e-3) & (rn < inlier_px)
+        return jnp.sum(inl), inl
+
+    scores, inl_sets = jax.vmap(score_one)(hyps.R, hyps.t)
+    best = jnp.argmax(scores)
+    w0 = w_valid * inl_sets[best].astype(jnp.float32)
+    # degenerate guard: if no hypothesis found any consensus, fall back to
+    # all valid points (the refinement stage's chi2 gate still protects)
+    w0 = jnp.where(jnp.sum(w0) >= 6, w0, w_valid)
+
+    # --- IRLS polish on the consensus set
     def body(w, _):
         T = pnp_dlt(p_w, uv_n, w)
         p_c = jnp.einsum("ij,nj->ni", T.R, p_w) + T.t
         uv_hat = project_pinhole(cam, p_c)
         rn = jnp.linalg.norm(uv_hat - uv, axis=-1)
-        w_new = w0 * jnp.minimum(1.0, huber_px / jnp.maximum(rn, 1e-6))
+        w_new = w_valid * jnp.minimum(1.0, huber_px / jnp.maximum(rn, 1e-6))
+        w_new = jnp.where(rn < 2.0 * inlier_px, w_new, 0.0)
         w_new = jnp.where(p_c[:, 2] > 1e-3, w_new, 0.0)
         return w_new, None
 

@@ -555,6 +555,31 @@ class MonoTracker:
         ev, self._compactions = self._compactions, []
         return ev
 
+    def relocalize_with_candidates(
+        self, feats: OrbFeatures, candidate_kfs, min_inliers: int = 20
+    ) -> bool:
+        """Geometric relocalization against candidate keyframes (the engine's
+        relocalizer: BoW candidates → PnP → pose-refine → inlier gate; here
+        the caller supplies candidates, e.g. from the BoW database). On
+        success adopts the verified pose; the next frame's wide-radius LOST
+        matching confirms and flips the state machine back to TRACKING."""
+        from .relocalize import relocalize_attempt
+
+        best_inl, best_pose = 0, None
+        for k in candidate_kfs:
+            res = relocalize_attempt(
+                self.map, self.cam, feats.desc, feats.xy, feats.valid,
+                jnp.int32(k), min_inliers=min_inliers,
+            )
+            n = int(res.n_inliers)
+            if bool(res.ok) and n > best_inl:
+                best_inl, best_pose = n, res.pose
+        if best_pose is None:
+            return False
+        self.pose = best_pose
+        self.velocity = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        return True
+
     def _record(self, pose):
         self.trajectory.append(
             (

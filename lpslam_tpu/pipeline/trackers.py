@@ -280,10 +280,12 @@ class VSLAMTracker(TrackerBase):
         self._loop_pending_kfs = nk
 
     def _bow_relocalize(self):
-        """BoW relocalization after tracking loss: query the keyframe database
-        with the current frame, jump the pose prior to the best keyframe —
-        the wide-radius LOST matching then re-acquires on the next frame
-        (engine relocalization parity)."""
+        """Relocalization after tracking loss: BoW candidates from the
+        keyframe database → PnP + pose-refine with inlier gate in the engine
+        (matching the engine relocalizer's candidate→solve→verify chain,
+        OpenVSLAMTrackerBase.cpp:205-211). Falls back to jumping the pose
+        prior to the best-scoring keyframe when geometry can't verify (wide-
+        radius LOST matching may still re-acquire)."""
         feats = getattr(self.engine, "last_feats", None)
         if feats is None:
             return
@@ -292,12 +294,17 @@ class VSLAMTracker(TrackerBase):
         v = bow_vector(self.loop_closer.vocab, feats.desc, feats.valid)
         scores = np.array(bow_similarity(v, self.loop_closer.db))
         scores[self.loop_closer.n:] = -1.0
-        best = int(np.argmax(scores))
-        if scores[best] < 0.1:
+        order = np.argsort(-scores)
+        cands = [int(k) for k in order[:3] if scores[k] >= 0.1]
+        if not cands:
+            return
+        if self.engine.relocalize_with_candidates(feats, cands):
+            self._lost_since = None
             return
         from ..geometry.se3 import SE3
 
         m = self.engine.map
+        best = cands[0]
         self.engine.pose = SE3(m.kf_R[best], m.kf_t[best])
 
     def _reseed_from_nav(self, nav_odom):
