@@ -23,7 +23,25 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import inspect as _inspect
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_raw
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+# replication-check kwarg was renamed check_rep -> check_vma in jax 0.8
+_SM_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in _inspect.signature(_shard_map_raw).parameters
+    else "check_rep"
+)
+
+
+def shard_map(f, **kw):
+    if "check_rep" in kw:
+        kw[_SM_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map_raw(f, **kw)
 
 from ..geometry.se3 import SE3, se3_exp, se3_compose
 from ..geometry.camera import PinholeCamera

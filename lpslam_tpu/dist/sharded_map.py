@@ -1,0 +1,356 @@
+"""Keyframe-axis-sharded global bundle adjustment + distributed loop scoring.
+
+BASELINE config 5 ("multi-host sharded mapping: partitioned keyframes/map
+blocks with distributed Schur-complement BA"): the KEYFRAME axis of the map
+is partitioned across the device mesh — each device owns a contiguous block
+of keyframes and all of their observations; landmark state is replicated
+(it is tiny: P x 3 floats) while every heavy per-observation structure stays
+device-local.
+
+The reduced camera system S = Hcc − Hcp Hpp⁻¹ Hpc couples keyframes on
+different devices through shared landmarks, so materializing S would need
+all-to-all communication. Instead the camera system is solved with
+block-Jacobi-preconditioned CG where each matvec communicates exactly ONE
+(P, 3) psum over ICI:
+
+    S·x = Hcc_local·x_local − Hcp_local · Hpp⁻¹ · psum(Hpc_local · x_local)
+
+and Hcp/Hpc are never materialized either — they are applied obs-wise from
+the per-observation (c, N, 6, 3) coupling blocks (gather + segment-sum over
+the slot axis). Per LM iteration the wire traffic is psum of Hpp (P,3,3),
+bp (P,3), one (P,3) vector per CG step, and scalars — never observations.
+
+Same code runs on a virtual CPU mesh (tests/dryrun) and a real multi-host
+slice (mesh from dist.mesh.make_mesh after dist.mesh.init_distributed).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+import inspect as _inspect
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_raw
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+
+# replication-check kwarg was renamed check_rep -> check_vma in jax 0.8
+_SM_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in _inspect.signature(_shard_map_raw).parameters
+    else "check_rep"
+)
+
+
+def shard_map(f, **kw):
+    if "check_rep" in kw:
+        kw[_SM_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map_raw(f, **kw)
+
+from ..geometry.se3 import SE3, se3_exp, se3_compose
+from ..geometry.camera import PinholeCamera
+from ..backend.ba import (
+    BAProblem,
+    BAResult,
+    CHI2_2D,
+    _project_residuals,
+    _cost_and_weights,
+)
+from .mesh import make_mesh
+from .sharded_ba import _MeshHolder
+
+
+def _local_obs_blocks(cam, R, t, points, obs_lm, obs_uv, obs_sigma2,
+                      cam_fixed, gate, point_valid):
+    """Residuals + per-observation blocks for this device's keyframe shard."""
+    active0 = (obs_lm >= 0) & point_valid[jnp.maximum(obs_lm, 0)]
+    r, Jc, Jp, p_c = _project_residuals(cam, R, t, points, obs_lm, obs_uv)
+    active = active0 & gate & (p_c[..., 2] > 1e-2)
+    cost, w = _cost_and_weights(r, obs_sigma2, active)
+    Jc = jnp.where(cam_fixed[:, None, None, None], 0.0, Jc)
+    Hcc = jnp.einsum("cnik,cn,cnil->ckl", Jc, w, Jc)          # (c,6,6)
+    bc = jnp.einsum("cnik,cn,cni->ck", Jc, w, r)              # (c,6)
+    JpTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jp, w, Jp)       # (c,N,3,3)
+    bp_terms = jnp.einsum("cnik,cn,cni->cnk", Jp, w, r)       # (c,N,3)
+    JcTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jc, w, Jp)       # (c,N,6,3)
+    return Hcc, bc, JpTJp, bp_terms, JcTJp, cost
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "cg_iters", "axis_name", "mesh_holder")
+)
+def _sgba_impl(prob, cam, iters, cg_iters, axis_name, mesh_holder):
+    mesh = mesh_holder.mesh
+    C, N = prob.obs_lm.shape
+    Pn = prob.points.shape[0]
+
+    cam_spec = P(axis_name)                 # (C,) sharded over keyframes
+    cam_spec2 = P(axis_name, None)          # (C, N)
+    cam_spec3 = P(axis_name, None, None)    # (C, N, 2)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, cam_spec, cam_spec, rep, cam_spec2, cam_spec3,
+                  cam_spec2, cam_spec, cam_spec2, rep, rep),
+        out_specs=(cam_spec, cam_spec, rep),
+        check_rep=False,
+    )
+    def lm_iteration(lam, R, t, points, obs_lm, obs_uv, obs_sigma2,
+                     cam_fixed, gate, point_valid, _unused):
+        c_loc = obs_lm.shape[0]
+        Hcc, bc, JpTJp, bp_terms, JcTJp, cost = _local_obs_blocks(
+            cam, R, t, points, obs_lm, obs_uv, obs_sigma2,
+            cam_fixed, gate, point_valid,
+        )
+        flat_lm = jnp.maximum(obs_lm.reshape(-1), 0)
+
+        # replicated landmark normal blocks: psum of local partials
+        Hpp = jax.lax.psum(
+            jax.ops.segment_sum(JpTJp.reshape(-1, 3, 3), flat_lm, num_segments=Pn),
+            axis_name,
+        )
+        bp = jax.lax.psum(
+            jax.ops.segment_sum(bp_terms.reshape(-1, 3), flat_lm, num_segments=Pn),
+            axis_name,
+        )
+        cost = jax.lax.psum(cost, axis_name)
+
+        # Marquardt-style RELATIVE damping: reprojection Hessian entries are
+        # O(fx²/z²)·n_obs ~ 1e5, so an absolute 1e-4 damping leaves blocks at
+        # condition ~1e9 — fp32 inversion of those is garbage whose value
+        # depends on reduction order (i.e. on the mesh size). Damping by
+        # lam·mean-diagonal keeps the condition number ≤ ~1/lam everywhere.
+        dmean = jnp.einsum("pii->p", Hpp) / 3.0
+        damp = lam * dmean + 1e-6
+        Hpp_d = Hpp + damp[:, None, None] * jnp.eye(3, dtype=bc.dtype)[None]
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = jnp.where(
+            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
+            Hpp_inv, 0.0,
+        )
+
+        free = ~cam_fixed                                    # (c_loc,)
+
+        def apply_Hpc(x_loc):
+            """(c,6) camera vector -> (P,3) landmark vector, psum-reduced."""
+            terms = jnp.einsum("cnik,ci->cnk", JcTJp, x_loc)  # (c,N,3)
+            out = jax.ops.segment_sum(
+                terms.reshape(-1, 3), flat_lm, num_segments=Pn
+            )
+            return jax.lax.psum(out, axis_name)
+
+        def apply_Hcp(v):
+            """(P,3) landmark vector -> (c,6) camera vector (local)."""
+            v_obs = v[jnp.maximum(obs_lm, 0)]                 # (c,N,3)
+            return jnp.einsum("cnik,cnk->ci", JcTJp, v_obs)
+
+        # relative camera damping for the same conditioning reason
+        cdamp = lam * (jnp.einsum("cii->c", Hcc) / 6.0) + 1e-6   # (c,)
+
+        def S_mv(x_loc):
+            """Reduced-camera-system matvec with one (P,3) psum."""
+            x_loc = jnp.where(free[:, None], x_loc, 0.0)
+            u = apply_Hpc(x_loc)                              # (P,3) psum
+            y = (
+                jnp.einsum("ckl,cl->ck", Hcc, x_loc)
+                + cdamp[:, None] * x_loc
+                - apply_Hcp(jnp.einsum("pjk,pk->pj", Hpp_inv, u))
+            )
+            return jnp.where(free[:, None], y, 0.0)
+
+        # block-Jacobi preconditioner: per-camera 6x6 diagonal of S
+        # (per-slot approximation of the landmark coupling)
+        Sdiag = Hcc + cdamp[:, None, None] * jnp.eye(6, dtype=bc.dtype)[None] - jnp.einsum(
+            "cnik,cnkl,cnjl->cij",
+            JcTJp, Hpp_inv[jnp.maximum(obs_lm, 0)], JcTJp,
+        )
+        Sdiag = Sdiag + 1e-6 * jnp.eye(6, dtype=bc.dtype)[None]
+        Mi = jnp.linalg.inv(Sdiag)
+        Mi = jnp.where(
+            jnp.all(jnp.isfinite(Mi), axis=(-2, -1), keepdims=True),
+            Mi, jnp.eye(6, dtype=bc.dtype)[None],
+        )
+
+        def precond(v):
+            return jnp.where(
+                free[:, None], jnp.einsum("cij,cj->ci", Mi, v), 0.0
+            )
+
+        # solve S dx = -bS with PCG (fixed iteration count, branch-free)
+        bS = bc - apply_Hcp(jnp.einsum("pjk,pk->pj", Hpp_inv, bp))
+        b_rhs = jnp.where(free[:, None], -bS, 0.0)
+
+        x = jnp.zeros_like(b_rhs)
+        rvec = b_rhs
+        z = precond(rvec)
+        p_dir = z
+        rz = jax.lax.psum(jnp.sum(rvec * z), axis_name)
+
+        def cg_step(carry, _):
+            x, rvec, p_dir, rz = carry
+            Sp = S_mv(p_dir)
+            pSp = jax.lax.psum(jnp.sum(p_dir * Sp), axis_name)
+            alpha = rz / jnp.maximum(pSp, 1e-20)
+            x2 = x + alpha * p_dir
+            r2 = rvec - alpha * Sp
+            z2 = precond(r2)
+            rz2 = jax.lax.psum(jnp.sum(r2 * z2), axis_name)
+            beta = rz2 / jnp.maximum(rz, 1e-20)
+            p2 = z2 + beta * p_dir
+            return (x2, r2, p2, rz2), None
+
+        (x, _, _, _), _ = jax.lax.scan(
+            cg_step, (x, rvec, p_dir, rz), None, length=cg_iters
+        )
+        dc = x
+
+        # landmark back-substitution: dp = -Hpp_inv (bp + Hpc dc)
+        dp = -jnp.einsum(
+            "pjk,pk->pj", Hpp_inv, bp + apply_Hpc(dc)
+        )
+        dp = jnp.where(point_valid[:, None], dp, 0.0)
+
+        T_new = jax.vmap(lambda R_, t_, d: se3_compose(se3_exp(d), SE3(R_, t_)))(
+            R, t, dc
+        )
+        return T_new.R, T_new.t, (dp, cost)
+
+    def step(carry, gate):
+        R, t, points, lam = carry
+        R2, t2, (dp, cost) = lm_iteration(
+            lam, R, t, points, prob.obs_lm, prob.obs_uv, prob.obs_sigma2,
+            prob.cam_fixed, gate, prob.point_valid, jnp.float32(0),
+        )
+        pts2 = points + dp
+        # accept/reject on the new cost (replicated evaluation)
+        r2, _, _, pc2 = _project_residuals(cam, R2, t2, pts2, prob.obs_lm, prob.obs_uv)
+        active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
+        cost_new, _ = _cost_and_weights(
+            r2, prob.obs_sigma2, active0 & gate & (pc2[..., 2] > 1e-2)
+        )
+        accept = cost_new < cost
+        R = jnp.where(accept, R2, R)
+        t = jnp.where(accept, t2, t)
+        points = jnp.where(accept, pts2, points)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-6, 1e3)
+        return (R, t, points, lam)
+
+    all_obs = jnp.ones_like(prob.obs_lm, dtype=bool)
+    n1 = max(iters // 2, 1)
+    n2 = max(iters - n1, 1)
+    carry = (prob.cam_R, prob.cam_t, prob.points, jnp.float32(1e-4))
+    carry = jax.lax.fori_loop(0, n1, lambda _, c: step(c, all_obs), carry)
+    R1, t1, pts1, _ = carry
+    r1, _, _, pc1 = _project_residuals(cam, R1, t1, pts1, prob.obs_lm, prob.obs_uv)
+    chi1 = jnp.sum(r1 * r1, -1) / prob.obs_sigma2
+    gate = (chi1 <= CHI2_2D * 4.0) & (pc1[..., 2] > 1e-2)
+    carry = (R1, t1, pts1, jnp.float32(1e-4))
+    carry = jax.lax.fori_loop(0, n2, lambda _, c: step(c, gate), carry)
+    R, t, points, _ = carry
+
+    rf, _, _, pcf = _project_residuals(cam, R, t, points, prob.obs_lm, prob.obs_uv)
+    active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
+    chi2 = jnp.sum(rf * rf, -1) / prob.obs_sigma2
+    inlier = active0 & (pcf[..., 2] > 1e-2) & (chi2 <= CHI2_2D)
+    r0, _, _, pc0 = _project_residuals(
+        cam, prob.cam_R, prob.cam_t, prob.points, prob.obs_lm, prob.obs_uv
+    )
+    cost0, _ = _cost_and_weights(r0, prob.obs_sigma2, active0 & (pc0[..., 2] > 1e-2))
+    costf, _ = _cost_and_weights(rf, prob.obs_sigma2, active0 & (pcf[..., 2] > 1e-2))
+    return BAResult(
+        cam_R=R, cam_t=t, points=points,
+        initial_cost=cost0, final_cost=costf, obs_inlier=inlier,
+    )
+
+
+def sharded_global_ba_problem(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    mesh: Mesh | None = None,
+    iters: int = 8,
+    cg_iters: int = 15,
+) -> BAResult:
+    """Global BA with the KEYFRAME axis sharded across `mesh`. Pads the
+    camera axis to the mesh size (padding cameras are fixed, observation-free)."""
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    C = prob.obs_lm.shape[0]
+    if C % n_dev != 0:
+        pad = n_dev - C % n_dev
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=prob.cam_R.dtype), (pad, 3, 3))
+        prob = prob._replace(
+            cam_R=jnp.concatenate([prob.cam_R, eye]),
+            cam_t=jnp.concatenate([prob.cam_t, jnp.zeros((pad, 3), prob.cam_t.dtype)]),
+            obs_lm=jnp.concatenate(
+                [prob.obs_lm, jnp.full((pad, prob.obs_lm.shape[1]), -1, jnp.int32)]
+            ),
+            obs_uv=jnp.concatenate(
+                [prob.obs_uv, jnp.zeros((pad,) + prob.obs_uv.shape[1:], prob.obs_uv.dtype)]
+            ),
+            obs_sigma2=jnp.concatenate(
+                [prob.obs_sigma2, jnp.ones((pad,) + prob.obs_sigma2.shape[1:])]
+            ),
+            cam_fixed=jnp.concatenate([prob.cam_fixed, jnp.ones((pad,), bool)]),
+        )
+    return _sgba_impl(prob, cam, iters, cg_iters, axis, _MeshHolder(mesh))
+
+
+def sharded_global_ba(m, cam: PinholeCamera, mesh: Mesh | None = None,
+                      iters: int = 8, cg_iters: int = 15):
+    """Global BA over a full MapStore with keyframes partitioned across the
+    mesh (the multi-host replacement for backend.ba.global_ba on maps whose
+    dense Schur matrix would not fit one device). Returns (map', BAResult)."""
+    K = m.kf_R.shape[0]
+    kf_ids = jnp.arange(K)
+    exists = kf_ids < m.n_kf
+    obs_lm = jnp.where(m.kf_kp_valid & exists[:, None], m.kf_lm_idx, -1)
+    prob = BAProblem(
+        cam_R=m.kf_R,
+        cam_t=m.kf_t,
+        points=m.lm_pos,
+        obs_lm=obs_lm,
+        obs_uv=m.kf_uv,
+        obs_sigma2=jnp.ones(obs_lm.shape, jnp.float32),
+        cam_fixed=(kf_ids < 2) | ~exists,       # gauge + empty slots
+        point_valid=m.lm_valid,
+    )
+    res = sharded_global_ba_problem(prob, cam, mesh=mesh, iters=iters,
+                                    cg_iters=cg_iters)
+    m2 = m._replace(kf_R=res.cam_R[:K], kf_t=res.cam_t[:K], lm_pos=res.points)
+    return m2, res
+
+
+def sharded_bow_scores(db, query, mesh: Mesh | None = None):
+    """Loop-candidate scoring with the keyframe axis of the BoW database
+    sharded across the mesh: each device scores its keyframe block against
+    the replicated query vector; results are all-gathered (a (K,) vector —
+    compact, never descriptors or images)."""
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    def score(db_loc, q):
+        qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-9)
+        dn = db_loc / jnp.maximum(
+            jnp.linalg.norm(db_loc, axis=1, keepdims=True), 1e-9
+        )
+        return dn @ qn
+
+    K = db.shape[0]
+    n_dev = mesh.devices.size
+    if K % n_dev != 0:
+        pad = n_dev - K % n_dev
+        db = jnp.concatenate([db, jnp.zeros((pad, db.shape[1]), db.dtype)])
+    return score(db, query)[:K]

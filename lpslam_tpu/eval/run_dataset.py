@@ -1,11 +1,19 @@
-"""Dataset evaluation runner: BASELINE configs 1-3 in one command.
+"""Dataset evaluation runner: BASELINE configs 1-4 in one command.
 
     python -m lpslam_tpu.eval.run_dataset --tum /data/rgbd_dataset_fr1_xyz --mode mono
-    python -m lpslam_tpu.eval.run_dataset --euroc /data/MH_01_easy --mode stereo
-    python -m lpslam_tpu.eval.run_dataset --tum ... --mode rgbd
+    python -m lpslam_tpu.eval.run_dataset --euroc /data/MH_01_easy --mode stereo --loop
+    python -m lpslam_tpu.eval.run_dataset --bench room --mode rgbd --frames 600 --loop
 
-Runs the tracker over the sequence, aligns against ground truth, and prints a
-JSON line with ATE RMSE + throughput (the BASELINE.md metric).
+Drives the full tracker stage (VSLAMTracker: engine + loop closing +
+relocalization) with undistortion/rectification IN-PATH — matching the
+reference, which keeps cached undistort maps in the frame path always
+(/root/reference/src/Utils/ImageProcessing.h:130-256,
+OpenVSLAMStereoTracker.cpp:192-215) — then aligns against ground truth and
+prints a JSON line with ATE RMSE + throughput (the BASELINE.md metric).
+
+`--bench room` is the committed dataset-free stand-in (no network egress for
+EuRoC/TUM): a ray-cast textured room, >=500 frames, closing loop, real lens
+distortion and photometric degradation (io/benchmark.py).
 """
 from __future__ import annotations
 
@@ -17,69 +25,145 @@ import time
 import numpy as np
 
 
+def build_rectifier(intr, mode, stereo_extrinsics=None):
+    """In-path undistortion/rectification from dataset intrinsics.
+    Returns (processor|None, cam_for_tracker, focal_x_baseline)."""
+    from ..geometry import PinholeCamera
+    from ..pipeline.config import CameraConfig
+    from ..pipeline.rectify import RectifyProcessor
+
+    dist = np.asarray(intr.get("dist", np.zeros(5)), np.float64)
+    has_dist = np.any(dist != 0)
+    fxb = intr.get("fx", 0.0) * intr.get("baseline", 0.0)
+
+    if mode == "stereo":
+        R_rl, t_rl = (
+            stereo_extrinsics
+            if stereo_extrinsics is not None
+            else (np.eye(3), np.array([-intr.get("baseline", 0.11), 0.0, 0.0]))
+        )
+        cam_l = CameraConfig(
+            number=0, model=intr.get("model", "perspective"),
+            fx=intr["fx"], fy=intr["fy"], cx=intr["cx"], cy=intr["cy"],
+            distortion=dist, width=intr["width"], height=intr["height"],
+            rotation=np.asarray(R_rl), translation=np.asarray(t_rl),
+        )
+        intr_r = dict(intr.get("right", intr))
+        cam_r = CameraConfig(
+            number=1, model=intr.get("model", "perspective"),
+            fx=intr_r["fx"], fy=intr_r["fy"], cx=intr_r["cx"], cy=intr_r["cy"],
+            distortion=np.asarray(intr_r.get("dist", dist), np.float64),
+            width=intr["width"], height=intr["height"],
+        )
+        proc = RectifyProcessor(camera=cam_l, camera_right=cam_r)
+        K = proc.K_new
+        cam = PinholeCamera.make(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+        return proc, cam, proc.focal_x_baseline
+    if has_dist:
+        cam_cfg = CameraConfig(
+            number=0, model=intr.get("model", "perspective"),
+            fx=intr["fx"], fy=intr["fy"], cx=intr["cx"], cy=intr["cy"],
+            distortion=dist, width=intr["width"], height=intr["height"],
+        )
+        proc = RectifyProcessor(camera=cam_cfg)
+        K = proc.K_new
+        cam = PinholeCamera.make(K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+        return proc, cam, fxb
+    cam = PinholeCamera.make(intr["fx"], intr["fy"], intr["cx"], intr["cy"])
+    return None, cam, fxb
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tum", help="TUM RGB-D sequence directory")
     p.add_argument("--euroc", help="EuRoC MAV sequence directory")
+    p.add_argument("--bench", help="synthetic benchmark name: room")
     p.add_argument("--mode", default="mono", choices=["mono", "stereo", "rgbd"])
-    p.add_argument("--keypoints", type=int, default=1024)
+    p.add_argument("--keypoints", type=int, default=1200)
     p.add_argument("--levels", type=int, default=3)
-    p.add_argument("--max-frames", type=int, default=0)
-    p.add_argument("--max-keyframes", type=int, default=256)
-    p.add_argument("--max-landmarks", type=int, default=32768)
+    p.add_argument("--frames", type=int, default=0, dest="max_frames")
+    p.add_argument("--max-keyframes", type=int, default=128)
+    p.add_argument("--max-landmarks", type=int, default=24576)
+    p.add_argument("--loop", action="store_true", help="enable loop closure")
+    p.add_argument("--vocab", default="", help="vocabulary file (else lazy-trained)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--no-distortion", action="store_true")
+    p.add_argument("--turns", type=float, default=1.08,
+                   help="benchmark orbit turns (1.08 closes the loop)")
     p.add_argument("--export-trajectory", help="TUM-format trajectory output")
+    p.add_argument("--json-out", help="also write the result JSON to this path")
     args = p.parse_args(argv)
 
-    from ..geometry import PinholeCamera
-    from ..frontend import MonoTracker, TrackerConfig
-    from ..frontend.stereo import StereoTracker, RGBDTracker
-    from ..kernels.orb import OrbParams
-    from ..mapstore import MapConfig
+    from ..pipeline.queues import CameraQueueEntry
+    from ..pipeline.trackers import VSLAMTracker
+    from ..frontend.tracker import TrackerStatus
     from ..eval import ate_rmse
     from ..io.datasets import (
-        EurocDataset, TumRgbdDataset, EUROC_CAM0, TUM_FR1,
+        EurocDataset, TumRgbdDataset, EUROC_CAM0, EUROC_CAM1, TUM_FR1,
+        euroc_stereo_extrinsics,
     )
 
+    stereo_ext = None
     if args.tum:
         ds = TumRgbdDataset(args.tum, with_depth=args.mode == "rgbd")
         intr = TUM_FR1
     elif args.euroc:
         ds = EurocDataset(args.euroc, stereo=args.mode == "stereo")
-        intr = EUROC_CAM0
-    else:
-        p.error("--tum or --euroc required")
+        intr = dict(EUROC_CAM0)
+        intr["right"] = EUROC_CAM1
+        stereo_ext = euroc_stereo_extrinsics()
+    elif args.bench:
+        from ..io.benchmark import SyntheticBenchmark
 
-    cam = PinholeCamera.make(intr["fx"], intr["fy"], intr["cx"], intr["cy"])
-    cfg = TrackerConfig(
-        orb=OrbParams(num_keypoints=args.keypoints, num_levels=args.levels),
-        map_cfg=MapConfig(
-            max_keyframes=args.max_keyframes,
-            max_landmarks=args.max_landmarks,
-            num_keypoints=args.keypoints,
-        ),
-    )
-    if args.mode == "stereo":
-        fxb = intr["fx"] * intr.get("baseline", 0.11)
-        tracker = StereoTracker(cam, focal_x_baseline=fxb, cfg=cfg)
-    elif args.mode == "rgbd":
-        tracker = RGBDTracker(cam, cfg=cfg)
+        ds = SyntheticBenchmark(
+            num_frames=args.max_frames or 600,
+            h=args.height, w=args.width, seed=args.seed,
+            stereo=args.mode == "stereo",
+            with_depth=args.mode == "rgbd",
+            distortion=not args.no_distortion,
+            turns=args.turns,
+        )
+        intr = ds.intr
     else:
-        tracker = MonoTracker(cam, cfg)
+        p.error("--tum, --euroc or --bench required")
+
+    proc, cam, fxb = build_rectifier(intr, args.mode, stereo_ext)
+
+    tracker = VSLAMTracker(cam, {
+        "mode": args.mode,
+        "keypoints": args.keypoints,
+        "levels": args.levels,
+        "max_keyframes": args.max_keyframes,
+        "max_landmarks": args.max_landmarks,
+        "focal_x_baseline": fxb if args.mode == "stereo" else 0.0,
+        "loop_closure": bool(args.loop),
+        "vocab_file": args.vocab,
+    })
 
     timestamps = []
     t_start = time.perf_counter()
     n = 0
     for frame in ds:
-        aux = frame.image_right if args.mode == "stereo" else frame.depth
-        tracker.process(frame.image, aux=aux)
+        entry = CameraQueueEntry(
+            timestamp=frame.timestamp,
+            image=frame.image,
+            image_second=frame.image_right,
+            aux=frame.depth,
+        )
+        if proc is not None:
+            entry = proc.process_image(entry)
+        tracker.process_image(entry)
         timestamps.append(frame.timestamp)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
     wall = time.perf_counter() - t_start
 
+    engine = tracker.engine
     est, ts_tracked = [], []
-    for i, (fid, pose, st) in enumerate(tracker.trajectory):
+    for fid, pose, st in engine.trajectory:
         if pose is None:
             continue
         est.append(-pose.R.T @ pose.t)
@@ -87,10 +171,13 @@ def main(argv=None):
     est = np.asarray(est)
 
     result = {
+        "mode": args.mode,
+        "loop_closure": bool(args.loop),
+        "keypoints": args.keypoints,
         "frames": n,
         "tracked": len(est),
-        "keyframes": tracker.n_keyframes,
-        "landmarks": tracker.n_landmarks,
+        "keyframes": tracker.engine.n_keyframes,
+        "landmarks": tracker.engine.n_landmarks,
         "fps": round(n / max(wall, 1e-9), 2),
     }
     gt = ds.ground_truth()
@@ -104,7 +191,11 @@ def main(argv=None):
             for ts, c in zip(ts_tracked, est):
                 f.write(f"{ts} {c[0]} {c[1]} {c[2]} 0 0 0 1\n")
 
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
     return 0
 
 

@@ -127,20 +127,24 @@ class StereoTracker(MonoTracker):
         self.velocity = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
         self.last_kf_frame = self.frame_id
         self.inliers_at_last_kf = max(int(jnp.sum(ok)), 1)
+        self._kf_count = 1
         return True
 
-    def _do_insert_keyframe(self, feats, tr, aux):
+    def _make_keyframe_map(self, m, pose, feats, kp_lm_idx, aux):
         z, ok = self._depths(feats, aux)
-        self.map = insert_keyframe_depth(
-            self.map, self.pose, self.cam, feats, tr.kp_lm_idx, z, ok, self.frame_id
+        m2 = insert_keyframe_depth(
+            m, pose, self.cam, feats, kp_lm_idx, z, ok, self.frame_id
         )
         # far points (beyond the depth threshold / without stereo match) get a
         # second chance via two-view triangulation against the previous
-        # keyframe — the engine keeps 'far' stereo landmarks the same way
-        if int(self.map.n_kf) >= 2:
-            from .tracker import triangulate_new_landmarks, _jit_triangulate
+        # keyframe — the engine keeps 'far' stereo landmarks the same way.
+        # (_kf_count >= 1 always holds here, so the previous-keyframe ref in
+        # triangulate_new_landmarks is valid.)
+        if self._kf_count >= 1:
+            from .tracker import _jit_triangulate
 
-            self.map = _jit_triangulate(self.map, self.cam, self.cfg)
+            m2 = _jit_triangulate(m2, self.cam, self.cfg)
+        return m2
 
 
 class RGBDTracker(StereoTracker):

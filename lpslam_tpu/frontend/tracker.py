@@ -78,6 +78,14 @@ class TrackerConfig(NamedTuple):
     kf_cull_redundancy: float = 0.9
     kf_cull_min_other_obs: int = 3
     kf_cull_keep_latest: int = 3
+    # asynchronous mapping (the reference runs tracking ∥ mapping threads,
+    # OpenVSLAMTrackerBase.cpp:238-255): the keyframe pipeline (insert +
+    # triangulate + local BA + cull/compact) is DISPATCHED at the keyframe
+    # frame but the result map is adopted at the NEXT frame, so the keyframe
+    # frame never waits for mapping — tracking continues on the last
+    # published map while the device works. Adoption at a frame boundary
+    # keeps replay deterministic.
+    async_mapping: bool = True
     # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
     # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
     # (prediction error feeds match selection feeds the next pose): with gain
@@ -293,6 +301,17 @@ def _extract(img, params: OrbParams):
     return extract_orb(img, params)
 
 
+@jax.jit
+def _apply_mask(feats: OrbFeatures, mask) -> OrbFeatures:
+    """Invalidate keypoints falling on masked-out pixels (tracker mask
+    parity: radial / image masks, OpenVSLAMTrackerBase.cpp:331-380)."""
+    h, w = mask.shape
+    xi = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, h - 1)
+    keep = mask[yi, xi]
+    return feats._replace(valid=feats.valid & keep)
+
+
 # ---------------------------------------------------------------------------
 # Host state machine
 # ---------------------------------------------------------------------------
@@ -322,6 +341,14 @@ class MonoTracker:
         # Host-side side tables keyed by keyframe slot (loop-closer BoW rows)
         # consume these to stay aligned with the compacted store.
         self._compactions: list = []
+        # async-mapping state: result of the in-flight keyframe pipeline
+        # (map, CompactResult|None), adopted at the next frame boundary
+        self._pending_map = None
+        # CompactResults whose n_culled scalar hasn't been read back yet
+        self._pending_compacts: list = []
+        # host-side keyframe count (inserts minus drained culls) — lets the
+        # keyframe policy run without blocking on in-flight device work
+        self._kf_count = 0
 
     # -- internal helpers ---------------------------------------------------
 
@@ -331,10 +358,19 @@ class MonoTracker:
     # False = localization-only mode: track against the existing map, never
     # insert keyframes (reference disable_mapping_module / mappingSetMode)
     mapping_enabled = True
+    # optional (H, W) bool device array — True where keypoints are allowed
+    mask = None
+
+    def set_mask(self, mask) -> None:
+        """Install a keypoint mask (True/nonzero = keep)."""
+        self.mask = None if mask is None else jnp.asarray(mask).astype(bool)
 
     def _extract(self, image) -> OrbFeatures:
         img = jnp.asarray(image, jnp.float32)
-        return _extract(img, self.cfg.orb)
+        feats = _extract(img, self.cfg.orb)
+        if self.mask is not None:
+            feats = _apply_mask(feats, self.mask)
+        return feats
 
     def _try_initialize(self, feats: OrbFeatures, aux=None) -> bool:
         f0 = self._init_feats
@@ -426,6 +462,7 @@ class MonoTracker:
         self.velocity = SE3(jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
         self.last_kf_frame = self.frame_id
         self.inliers_at_last_kf = max(n_new, 1)
+        self._kf_count = 2
         return True
 
     def _keyframe_needed(self, n_inliers: int) -> bool:
@@ -444,6 +481,9 @@ class MonoTracker:
         aux: sensor-specific extra input (right image for stereo, depth map
         for RGB-D) — unused by the monocular tracker.
         """
+        # frame boundary: adopt the previous frame's mapping result (async
+        # mapping double-buffer — see TrackerConfig.async_mapping)
+        self._adopt_pending_map()
         feats = self._extract(image)
         self.last_feats = feats  # exposed for BoW relocalization / recording
         st = self.status
@@ -491,27 +531,15 @@ class MonoTracker:
                 )
                 self.status = TrackerStatus.TRACKING
                 if self._keyframe_needed(n_inl) and self.mapping_enabled:
-                    if int(self.map.n_kf) >= self.cfg.map_cfg.max_keyframes - 1:
+                    self._adopt_pending_map()
+                    self._drain_compact_stats()  # exact count for capacity
+                    if self._kf_count >= self.cfg.map_cfg.max_keyframes - 1:
                         # capacity pressure: force-drop the most redundant
                         # keyframe so insertion always has a free slot
                         self._compact(force_min_one=True)
-                    if int(self.map.n_kf) < self.cfg.map_cfg.max_keyframes:
-                        self._do_insert_keyframe(feats, tr, aux)
-                        if self.cfg.local_ba_window > 0:
-                            from ..backend.ba import local_ba
-
-                            self.map, _ = local_ba(
-                                self.map, self.cam,
-                                window=self.cfg.local_ba_window,
-                                iters=self.cfg.local_ba_iters,
-                                covisibility=self.cfg.local_ba_covisibility,
-                            )
-                            # the newest keyframe IS the current frame — adopt
-                            # its BA-refined pose
-                            k = self.map.n_kf - 1
-                            self.pose = SE3(self.map.kf_R[k], self.map.kf_t[k])
-                        if self.cfg.kf_culling:
-                            self._compact()
+                        self._drain_compact_stats()
+                    if self._kf_count < self.cfg.map_cfg.max_keyframes:
+                        self._spawn_keyframe_pipeline(feats, tr, aux)
                         self.last_kf_frame = self.frame_id
                         self.inliers_at_last_kf = max(n_inl, 1)
                 self._record(self.pose)
@@ -527,15 +555,63 @@ class MonoTracker:
             self.pose if self.status == TrackerStatus.TRACKING else None
         )
 
-    def _do_insert_keyframe(self, feats, tr, aux):
-        self.map = insert_keyframe(
-            self.map, self.pose, self.cam, feats,
-            tr.kp_lm_idx, self.frame_id, self.cfg,
+    def _make_keyframe_map(self, m, pose, feats, kp_lm_idx, aux) -> MapStore:
+        """Pure keyframe insertion: returns the map with the frame written as
+        a keyframe and new landmarks created (mono: two-view triangulation)."""
+        return insert_keyframe(
+            m, pose, self.cam, feats, kp_lm_idx, self.frame_id, self.cfg
         )
 
+    def _spawn_keyframe_pipeline(self, feats, tr, aux):
+        """Run the mapping pipeline for the current frame: insert keyframe +
+        triangulate + local BA + cull/compact. With async_mapping the chain
+        is dispatched now and the result adopted at the next frame boundary
+        (no host sync on this frame); otherwise applied immediately."""
+        m2 = self._make_keyframe_map(self.map, self.pose, feats, tr.kp_lm_idx, aux)
+        if self.cfg.local_ba_window > 0:
+            from ..backend.ba import local_ba
+
+            m2, _ = local_ba(
+                m2, self.cam,
+                window=self.cfg.local_ba_window,
+                iters=self.cfg.local_ba_iters,
+                covisibility=self.cfg.local_ba_covisibility,
+            )
+        res = None
+        if self.cfg.kf_culling:
+            res = cull_and_compact(
+                m2,
+                keep_latest=self.cfg.kf_cull_keep_latest,
+                redundancy=self.cfg.kf_cull_redundancy,
+                min_other_obs=self.cfg.kf_cull_min_other_obs,
+            )
+            m2 = res.map
+        self._kf_count += 1
+        if self.cfg.async_mapping:
+            self._pending_map = (m2, res)
+        else:
+            self.map = m2
+            if res is not None:
+                self._pending_compacts.append(res)
+            # adopt the BA-refined pose of the newest keyframe (sync mode:
+            # the keyframe IS the current frame)
+            if self.cfg.local_ba_window > 0:
+                k = self.map.n_kf - 1
+                self.pose = SE3(self.map.kf_R[k], self.map.kf_t[k])
+
+    def _adopt_pending_map(self):
+        """Swap in the finished (or finishing) mapping result. Called at each
+        frame boundary — deterministic adoption point."""
+        if self._pending_map is None:
+            return
+        m2, res = self._pending_map
+        self._pending_map = None
+        self.map = m2
+        if res is not None:
+            self._pending_compacts.append(res)
+
     def _compact(self, force_min_one: bool = False):
-        """Cull redundant keyframes + compact; record the slot permutation
-        for host-side side tables (loop-closer BoW database)."""
+        """Cull redundant keyframes + compact the live map immediately."""
         res = cull_and_compact(
             self.map,
             keep_latest=self.cfg.kf_cull_keep_latest,
@@ -543,15 +619,39 @@ class MonoTracker:
             min_other_obs=self.cfg.kf_cull_min_other_obs,
             force_min_one=force_min_one,
         )
-        changed = int(res.n_kf_culled) > 0 or int(res.map.n_lm) != int(self.map.n_lm)
-        if changed:
-            self._compactions.append(
-                (np.asarray(res.kf_order), int(res.map.n_kf))
-            )
         self.map = res.map
+        self._pending_compacts.append(res)
+
+    def _drain_compact_stats(self, only_ready: bool = False):
+        """Read back n_culled from finished compactions, adjust the host
+        keyframe count, and emit slot-permutation events for side tables.
+        With only_ready, in-flight results are left queued (non-blocking)."""
+        rest = []
+        for res in self._pending_compacts:
+            if only_ready and not res.n_kf_culled.is_ready():
+                rest.append(res)
+                continue
+            n = int(res.n_kf_culled)
+            if n > 0:
+                self._kf_count -= n
+                self._compactions.append(
+                    (np.asarray(res.kf_order), int(res.map.n_kf))
+                )
+        self._pending_compacts = rest
+
+    @property
+    def mapping_in_flight(self) -> bool:
+        """True while the async keyframe pipeline result is not yet adopted
+        or its statistics not yet read back — loop-closure bookkeeping waits
+        for a quiescent map so slot indices stay consistent."""
+        if self._pending_map is not None:
+            return True
+        return any(not r.n_kf_culled.is_ready() for r in self._pending_compacts)
 
     def drain_compactions(self) -> list:
-        """Return and clear compaction events since the last drain."""
+        """Return and clear compaction events since the last drain (forces
+        readback of any outstanding compaction statistics)."""
+        self._drain_compact_stats()
         ev, self._compactions = self._compactions, []
         return ev
 
@@ -593,8 +693,13 @@ class MonoTracker:
 
     @property
     def n_landmarks(self) -> int:
+        self._adopt_pending_map()
         return int(self.map.n_lm)
 
     @property
     def n_keyframes(self) -> int:
+        """Exact keyframe count — adopts in-flight mapping first (may block
+        on the device chain; the loop-closure path uses mapping_in_flight to
+        avoid that on hot frames)."""
+        self._adopt_pending_map()
         return int(self.map.n_kf)

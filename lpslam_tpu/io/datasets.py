@@ -191,6 +191,31 @@ EUROC_CAM0 = {
     "model": "perspective", "width": 752, "height": 480,
     "baseline": 0.110074,  # approx cam0-cam1
 }
+EUROC_CAM1 = {
+    "fx": 457.587, "fy": 456.134, "cx": 379.999, "cy": 255.238,
+    "dist": np.asarray([-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05, 0.0]),
+    "model": "perspective", "width": 752, "height": 480,
+}
+# Body->sensor extrinsics from the published EuRoC sensor.yaml files; the
+# rectifier needs T_c1_c0 = inv(T_BS_cam1) @ T_BS_cam0.
+EUROC_T_BS_CAM0 = np.asarray([
+    [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+    [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+    [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+    [0.0, 0.0, 0.0, 1.0],
+])
+EUROC_T_BS_CAM1 = np.asarray([
+    [0.0125552670891, -0.999755099723, 0.0182237714554, -0.0198435579556],
+    [0.999598781151, 0.0130119051815, 0.0251588363115, 0.0453689425024],
+    [-0.0253898008918, 0.0179005838253, 0.999517347078, 0.00786212447038],
+    [0.0, 0.0, 0.0, 1.0],
+])
+
+
+def euroc_stereo_extrinsics():
+    """(R_rl, t_rl): right (cam1) pose of left (cam0) frame for rectification."""
+    T = np.linalg.inv(EUROC_T_BS_CAM1) @ EUROC_T_BS_CAM0
+    return T[:3, :3].copy(), T[:3, 3].copy()
 TUM_FR1 = {
     "fx": 517.3, "fy": 516.5, "cx": 318.6, "cy": 255.3,
     "dist": np.asarray([0.2624, -0.9531, -0.0054, 0.0026, 1.1633]),

@@ -68,6 +68,39 @@ def warp_homography(img: np.ndarray, H: np.ndarray, out_shape=None):
     return v.astype(np.float32)
 
 
+def imu_from_poses(poses, fps: float, gravity=(0.0, 9.81, 0.0)):
+    """Synthesize body-frame IMU samples from a ground-truth pose sequence
+    (WebotsSource publishes IMU accel/gyro alongside frames —
+    /root/reference/src/Sources/WebotsSource.cpp:81-376). Returns
+    (gyro (T,3), accel (T,3)) in the camera/body frame; gravity defaults to
+    +y (optical y points down)."""
+    from ..geometry.so3 import so3_log
+
+    import jax.numpy as jnp
+
+    T = len(poses)
+    dt = 1.0 / max(fps, 1e-9)
+    g = np.asarray(gravity, np.float64)
+    gyro = np.zeros((T, 3))
+    accel = np.zeros((T, 3))
+    pos = np.asarray([np.asarray(p.t, np.float64) for p in poses])
+    for t in range(T):
+        t0, t1 = max(t - 1, 0), min(t + 1, T - 1)
+        if t1 > t:
+            R0 = np.asarray(poses[t].R, np.float64)
+            R1 = np.asarray(poses[t1].R, np.float64)
+            w = np.asarray(so3_log(jnp.asarray(R0.T @ R1, jnp.float32)))
+            gyro[t] = w / dt
+        # world-frame linear acceleration (central difference) + gravity,
+        # rotated into the body frame
+        if 0 < t < T - 1:
+            a_w = (pos[t + 1] - 2 * pos[t] + pos[t - 1]) / (dt * dt)
+        else:
+            a_w = np.zeros(3)
+        accel[t] = np.asarray(poses[t].R, np.float64).T @ (a_w + g)
+    return gyro, accel
+
+
 class SyntheticSequence(NamedTuple):
     """A planar-scene camera sequence with exact ground truth."""
 
@@ -78,6 +111,50 @@ class SyntheticSequence(NamedTuple):
     images_r: np.ndarray = None   # (T, H, W) right-eye images (stereo mode)
     depths: np.ndarray = None     # (T, H, W) metric depth maps (RGB-D mode)
     baseline: float = 0.0
+
+
+def waypoint_trajectory(
+    waypoints,
+    num_frames: int,
+    fps: float = 20.0,
+    speed: float = 0.5,
+    kp: float = 2.0,
+    ki: float = 0.05,
+    kd: float = 0.1,
+    tolerance: float = 0.08,
+    yaw_gain: float = 0.15,
+):
+    """PID waypoint navigation (reference WebotsSource waypoint control
+    parity, /root/reference/src/Sources/WebotsSource.cpp:318-369): a planar
+    vehicle is steered through `waypoints` [(x, y), ...] by two PID loops on
+    the position error; heading wiggles proportionally to lateral velocity
+    like a steering vehicle. Returns a list of SE3 camera-to-world poses
+    (camera keeps facing the scene plane, +z)."""
+    from ..utils.pid import PidController
+
+    wps = [np.asarray(wp, np.float64) for wp in waypoints]
+    dt = 1.0 / max(fps, 1e-6)
+    pid_x = PidController(kp, ki, kd, -speed, speed)
+    pid_y = PidController(kp, ki, kd, -speed, speed)
+    pos = np.array([0.0, 0.0])
+    wp_i = 0
+    poses = []
+    for _ in range(num_frames):
+        target = wps[min(wp_i, len(wps) - 1)]
+        err = target - pos
+        if np.linalg.norm(err) < tolerance and wp_i < len(wps) - 1:
+            wp_i += 1
+            pid_x.reset()
+            pid_y.reset()
+        vx = pid_x.update(err[0], dt)
+        vy = pid_y.update(err[1], dt)
+        pos = pos + np.array([vx, vy]) * dt
+        yaw = yaw_gain * vx / max(speed, 1e-6)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses.append(SE3(R_wc.astype(np.float32),
+                         np.array([pos[0], pos[1], 0.0], np.float32)))
+    return poses
 
 
 def make_sequence(
@@ -91,6 +168,7 @@ def make_sequence(
     tex_scale: int = 4,
     stereo_baseline: float = 0.0,
     with_depth: bool = False,
+    poses: list = None,
 ):
     """Render a sequence of a textured plane z=plane_z (world units) from a
     camera that starts at the origin looking down +z.
@@ -112,6 +190,7 @@ def make_sequence(
 
     import jax.numpy as jnp
 
+    given_poses = poses
     poses = []
     images = np.zeros((num_frames, h, w), np.float32)
     images_r = np.zeros((num_frames, h, w), np.float32) if stereo_baseline else None
@@ -119,18 +198,22 @@ def make_sequence(
     T_tex2world = None
     for t in range(num_frames):
         tt = t / max(num_frames - 1, 1)
-        if motion == "orbit":
+        if given_poses is not None:
+            T_wc = given_poses[min(t, len(given_poses) - 1)]
+        elif motion == "orbit":
             xi = np.array(
                 [0.6 * np.sin(2 * np.pi * tt), 0.3 * (1 - np.cos(2 * np.pi * tt)),
                  0.35 * np.sin(np.pi * tt),
                  0.04 * np.sin(2 * np.pi * tt), 0.06 * np.sin(2 * np.pi * tt), 0.03 * tt],
                 np.float32,
             )
+            T_wc = se3_exp(jnp.asarray(xi))  # camera-to-world
         elif motion == "forward":
             xi = np.array([0.05 * t, 0.0, 0.08 * t, 0.0, 0.0, 0.0], np.float32)
+            T_wc = se3_exp(jnp.asarray(xi))
         else:  # translate
             xi = np.array([0.08 * t, 0.02 * t, 0.0, 0.0, 0.0, 0.0], np.float32)
-        T_wc = se3_exp(jnp.asarray(xi))  # camera-to-world
+            T_wc = se3_exp(jnp.asarray(xi))
         poses.append(SE3(np.asarray(T_wc.R), np.asarray(T_wc.t)))
 
         # homography texture->image for this pose:

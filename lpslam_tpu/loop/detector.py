@@ -129,13 +129,33 @@ class LoopCloser:
         node_t = m.kf_t
         node_s = jnp.ones((K,), jnp.float32)
 
-        # sequential odometry edges (k, k+1) for existing keyframes + loop edge
-        E = K  # capacity: K-1 sequential + 1 loop, padded
+        # sequential odometry edges (k, k+1) + covisibility edges (keyframe
+        # pairs sharing enough landmarks — the engine optimizes the full
+        # covisibility pose graph, not just the odometry chain) + loop edge
+        E = 2 * K  # capacity: K-1 sequential + up to K covis + 1 loop, padded
         ei = np.zeros((E,), np.int32)
         ej = np.zeros((E,), np.int32)
         ew = np.zeros((E,), np.float32)
         for k in range(min(nk - 1, E - 1)):
             ei[k], ej[k], ew[k] = k, k + 1, 1.0
+
+        # covisibility counts: shared-landmark matrix over live keyframes
+        kf_lm = np.asarray(m.kf_lm_idx[:nk])
+        kp_ok = np.asarray(m.kf_kp_valid[:nk]) & (kf_lm >= 0)
+        P = m.lm_pos.shape[0]
+        B = np.zeros((nk, P), bool)
+        rows = np.repeat(np.arange(nk), kf_lm.shape[1])
+        B[rows[kp_ok.reshape(-1)], kf_lm[kp_ok]] = True
+        shared = (B.astype(np.float32) @ B.T.astype(np.float32)).astype(np.int32)
+        iu, ju = np.triu_indices(nk, k=2)     # skip sequential neighbors
+        counts = shared[iu, ju]
+        strong = counts >= 30
+        order = np.argsort(-counts[strong])[: K - 1]
+        slot = K - 1  # covis edges occupy [K-1, 2K-2)
+        for a, b in zip(iu[strong][order], ju[strong][order]):
+            ei[slot], ej[slot], ew[slot] = a, b, 1.0
+            slot += 1
+
         ei[E - 1], ej[E - 1], ew[E - 1] = cand, k_new, 2.0  # loop edge, stronger
 
         ei_j = jnp.asarray(ei)

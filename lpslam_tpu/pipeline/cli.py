@@ -23,6 +23,18 @@ def main(argv=None):
     p.add_argument("--config", help="JSON configuration file")
     p.add_argument("--replay", help="replay a recorded .pb stream")
     p.add_argument("--record", action="store_true", help="record session to .pb")
+    p.add_argument(
+        "--record-no-video", action="store_true",
+        help="record sensors/results but no camera frames",
+    )
+    p.add_argument(
+        "--show-live", action="store_true",
+        help="display frames in an OpenCV window (needs a display)",
+    )
+    p.add_argument(
+        "--store-images", metavar="DIR",
+        help="dump every 10th raw frame as PNG into DIR",
+    )
     p.add_argument("--logfile", help="log to file")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--verbose-debug", action="store_true")
@@ -71,7 +83,11 @@ def main(argv=None):
         mgr.set_camera_configuration(cam)
         mgr.add_tracker_by_name("VSLAM", {"mode": args.mode})
         mgr.on_reconstruction = on_reconstruction
-        mgr.set_recording(args.record)
+        mgr.set_recording(args.record or args.record_no_video)
+        if args.record_no_video:
+            mgr.recorder.record_images = False
+        mgr.show_live = args.show_live
+        mgr.store_images_dir = args.store_images
         mgr.start()
         t0 = time.time()
         # wait for the source to finish AND the worker to drain (first frames
@@ -112,7 +128,13 @@ def main(argv=None):
     if args.replay:
         mgr.add_source_by_name("Replay", {"file": args.replay})
     mgr.on_reconstruction = on_reconstruction
-    mgr.set_recording(args.record or mgr._record_enabled)
+    mgr.set_recording(args.record or args.record_no_video or mgr._record_enabled)
+    if args.record_no_video:
+        mgr.recorder.record_images = False
+    if args.show_live:
+        mgr.show_live = True
+    if args.store_images:
+        mgr.store_images_dir = args.store_images
     mgr.start()
     log.info("running — Ctrl-C to stop")
     try:

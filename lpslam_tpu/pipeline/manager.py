@@ -107,6 +107,9 @@ class SlamManager:
         self._frames = 0
         self._running = False
         self.store_images_dir: Optional[str] = None
+        # live OpenCV preview every 10th frame (SlamManager.cpp:118-131);
+        # auto-disables when no display is available
+        self.show_live = False
 
         if config is not None:
             self.apply_config(config)
@@ -122,6 +125,7 @@ class SlamManager:
             self.markers[mk.marker_id] = mk
         self._record_enabled = cfg.manager.record
         self.recorder.record_images = cfg.manager.record_images
+        self.show_live = cfg.manager.show_live
         for type_name, conf in cfg.datasources:
             self.add_source_by_name(type_name, conf)
         for type_name, conf in cfg.processors:
@@ -178,6 +182,12 @@ class SlamManager:
         cc = self.cameras.get(cam_number)
         if cc is not None and cc.focal_x_baseline and "focal_x_baseline" not in config:
             config["focal_x_baseline"] = cc.focal_x_baseline
+        # camera-registry mask settings flow into the tracker (configureMasks
+        # parity: the reference builds masks from the camera configuration)
+        if cc is not None and cc.mask_radius and "mask_radius" not in config:
+            config["mask_radius"] = float(cc.mask_radius)
+        if cc is not None and cc.mask_image and "mask_image" not in config:
+            config["mask_image"] = cc.mask_image
         tracker = VSLAMTracker(self._camera_model(cam_number), config)
         self.trackers.append(tracker)
         return tracker
@@ -489,6 +499,17 @@ class SlamManager:
                     self.recorder.store_global_state(
                         sv.timestamp, pos, q, reference=sv.reference
                     )
+
+        # live view every 10th frame (SlamManager.cpp:118-131); disabled on
+        # the first failure (headless container)
+        if self.show_live and self._frames % 10 == 0:
+            try:
+                import cv2
+
+                cv2.imshow("lpslam", np.clip(entry.image, 0, 255).astype(np.uint8))
+                cv2.waitKey(1)
+            except Exception:
+                self.show_live = False
 
         # raw-frame dump every 10th frame (reference store-images debugging
         # path, SlamManager.cpp:73-84)

@@ -94,4 +94,8 @@ class RectifyProcessor(ProcessorBase):
             entry.image_second = np.asarray(right)
         else:
             entry.image = np.asarray(remap_bilinear(jnp.asarray(entry.image), map_l))
+        if entry.aux is not None and np.ndim(entry.aux) == 2:
+            # RGB-D depth maps ride the same (mono) undistortion map so depth
+            # stays registered with the undistorted image
+            entry.aux = np.asarray(remap_bilinear(jnp.asarray(entry.aux), map_l))
         return entry

@@ -139,12 +139,23 @@ class SyntheticSource(ImageSourceBase):
         .optional("stereo_baseline", float, 0.0)
         .optional("with_depth", bool, False)
         .optional("realtime", bool, False)
+        # IMU publishing (WebotsSource publishes accel/gyro to the sensor
+        # queue alongside frames)
+        .optional("publish_imu", bool, False)
+        # waypoint navigation: [(x, y), ...] targets driven by PID control
+        # (WebotsSource.cpp:318-369 waypoint parity); overrides `motion`
+        .optional("waypoints", list, None)
     )
 
     def __init__(self, config: Optional[dict] = None):
         super().__init__(config)
-        from ..io.synthetic import make_sequence
+        from ..io.synthetic import make_sequence, waypoint_trajectory
 
+        poses = None
+        if self.cfg["waypoints"]:
+            poses = waypoint_trajectory(
+                self.cfg["waypoints"], self.cfg["num_frames"], fps=self.cfg["fps"]
+            )
         self.seq = make_sequence(
             num_frames=self.cfg["num_frames"],
             h=self.cfg["height"],
@@ -153,7 +164,13 @@ class SyntheticSource(ImageSourceBase):
             motion=self.cfg["motion"],
             stereo_baseline=self.cfg["stereo_baseline"],
             with_depth=self.cfg["with_depth"],
+            poses=poses,
         )
+        self._imu = None
+        if self.cfg["publish_imu"]:
+            from ..io.synthetic import imu_from_poses
+
+            self._imu = imu_from_poses(self.seq.poses_wc, self.cfg["fps"])
         self._idx = 0
         self._rng = np.random.default_rng(self.cfg["seed"] + 99)
 
@@ -182,6 +199,13 @@ class SyntheticSource(ImageSourceBase):
             self.sensor_queue.push(
                 SensorQueueEntry(timestamp=ts, kind="global_state", state=(pos, pose.R))
             )
+            if self._imu is not None:
+                gyro, accel = self._imu
+                self.sensor_queue.push(
+                    SensorQueueEntry(
+                        timestamp=ts, kind="imu", acc=accel[t], gyro=gyro[t]
+                    )
+                )
         self.camera_queue.push(entry)
         if self.cfg["realtime"]:
             time.sleep(1.0 / max(self.cfg["fps"], 1e-3))

@@ -116,6 +116,14 @@ class VSLAMTracker(TrackerBase):
         .optional("vocab_file", str, "")  # pre-trained vocabulary (orb_vocab parity)
         .optional("occupancy_cell_size", float, 0.1)
         .optional("max_laser_age", float, 0.5)
+        # keypoint masks (OpenVSLAMTrackerBase::configureMasks parity):
+        # radial keeps a centered disc of the given pixel radius; image loads
+        # a grayscale mask file (nonzero = keep)
+        .optional("mask_radius", float, 0.0)
+        .optional("mask_image", str, "")
+        # push the landmark map onto the sensor queue every N seconds
+        # (reference emitMap, OpenVSLAMTracker.cpp:146-153; 0 = off)
+        .optional("emit_map_seconds", float, 0.0)
     )
 
     def __init__(self, cam: PinholeCamera, config: Optional[dict] = None):
@@ -159,6 +167,9 @@ class VSLAMTracker(TrackerBase):
         self._lost_since: Optional[float] = None
         self._laser_buffer: list = []
         self._frame_times: list = []
+        self._mask_pending = bool(self.cfg["mask_radius"] or self.cfg["mask_image"])
+        self._sensor_queue = None
+        self._last_map_emit = 0.0
 
         # map persistence parity: load map.db-equivalent if configured
         if self.cfg["map_file"]:
@@ -171,31 +182,80 @@ class VSLAMTracker(TrackerBase):
 
     # -- pipeline API -------------------------------------------------------
 
+    def start(self, sensor_queue=None):
+        self._sensor_queue = sensor_queue
+
+    def _configure_mask(self, shape):
+        """Build the keypoint mask on first frame (needs the image size),
+        matching configureMasks: radial disc or grayscale mask file."""
+        self._mask_pending = False
+        h, w = shape
+        if self.cfg["mask_image"]:
+            import cv2
+
+            m = cv2.imread(self.cfg["mask_image"], cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                return
+            if m.shape != (h, w):
+                m = cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+            self.engine.set_mask(m > 0)
+        elif self.cfg["mask_radius"] > 0:
+            yy, xx = np.mgrid[0:h, 0:w]
+            r2 = (xx - w / 2.0) ** 2 + (yy - h / 2.0) ** 2
+            self.engine.set_mask(r2 <= self.cfg["mask_radius"] ** 2)
+
+    def _maybe_emit_map(self, now: float):
+        """Periodic landmark-map push onto the sensor queue (emitMap parity:
+        the recorder persists these FeatureList entries)."""
+        interval = self.cfg["emit_map_seconds"]
+        if not interval or self._sensor_queue is None:
+            return
+        if now - self._last_map_emit < interval:
+            return
+        self._last_map_emit = now
+        from .queues import SensorQueueEntry
+
+        self._sensor_queue.push(
+            SensorQueueEntry(
+                timestamp=now, kind="features", features=self.get_features(2048)
+            )
+        )
+
     def process_image(self, entry: CameraQueueEntry, nav_odom=None, nav_map=None,
                       sensor_values=()) -> list:
         if self.cfg["wait_for_navigation_data"] and nav_odom is None:
             return []
+        if self._mask_pending:
+            self._configure_mask(entry.image.shape[:2])
         t0 = time.monotonic()
         aux = entry.image_second if self.cfg["mode"] == "stereo" else entry.aux
         st, pose = self.engine.process(entry.image, aux=aux)
         self._frame_times.append(time.monotonic() - t0)
         if len(self._frame_times) > 30:
             self._frame_times.pop(0)
+        self._maybe_emit_map(entry.timestamp)
 
         if self.cfg["loop_closure"]:
-            if self.loop_closer is None and self.cfg["vocab_file"]:
+            if self.loop_closer is None:
                 import os
 
-                if os.path.exists(self.cfg["vocab_file"]) or os.path.exists(
-                    self.cfg["vocab_file"] + ".npz"
-                ):
+                # shipped pre-trained vocabulary (orb_vocab.dbow2 parity
+                # asset) is the default; an explicit vocab_file overrides;
+                # lazy self-training remains the last-resort fallback
+                path = self.cfg["vocab_file"] or os.path.join(
+                    os.path.dirname(os.path.dirname(__file__)),
+                    "assets", "orb_vocab.npz",
+                )
+                if os.path.exists(path) or os.path.exists(path + ".npz"):
                     from ..loop import load_vocabulary, LoopCloser
 
-                    vocab = load_vocabulary(self.cfg["vocab_file"])
+                    vocab = load_vocabulary(path)
                     self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
             self._maybe_close_loop()
-        else:
-            self.engine.drain_compactions()  # no slot-keyed side tables to fix
+        elif not self.engine.mapping_in_flight:
+            # no slot-keyed side tables to fix — discard events (non-blocking)
+            self.engine._drain_compact_stats(only_ready=True)
+            self.engine._compactions.clear()
 
         if st == TrackerStatus.LOST:
             if self._lost_since is None:
@@ -243,6 +303,11 @@ class VSLAMTracker(TrackerBase):
     def _maybe_close_loop(self):
         import jax.numpy as jnp
 
+        # wait for a quiescent map: loop bookkeeping indexes keyframe slots,
+        # which must not shift under it (async mapping / pending compaction);
+        # mapping settles within a frame or two, far before the next keyframe
+        if self.engine.mapping_in_flight:
+            return
         self._sync_compactions()
         nk = self.engine.n_keyframes
         if nk <= self._loop_pending_kfs:
