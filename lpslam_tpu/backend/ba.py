@@ -53,6 +53,14 @@ class BAProblem(NamedTuple):
     obs_sigma2: jnp.ndarray
     cam_fixed: jnp.ndarray
     point_valid: jnp.ndarray
+    # optional (P,) bool: points whose observations constrain CAMERAS but
+    # whose positions are held fixed. Depth-sensor-created landmarks with a
+    # single observing keyframe live here: their reprojection Hessian is
+    # rank-2 (unconstrained along the ray), so letting BA move them destroys
+    # the metric depth the sensor measured; they are freed once a second
+    # keyframe observes them. (The engine's stereo BA instead adds a u_right
+    # residual row — this is the equivalent constraint expressed as a prior.)
+    point_fixed: jnp.ndarray = None
 
 
 class BAResult(NamedTuple):
@@ -154,6 +162,11 @@ def bundle_adjust(
             Hpp_inv,
             0.0,
         )
+        # fixed points: zero Hpp_inv = infinite prior on the point, so the
+        # Schur term vanishes, cameras see the raw reprojection residuals of
+        # the (trusted) point, and the point update is exactly zero
+        if prob.point_fixed is not None:
+            Hpp_inv = jnp.where(prob.point_fixed[:, None, None], 0.0, Hpp_inv)
 
         # Schur complement on cameras
         S = jnp.zeros((C, 6, C, 6), r.dtype)
@@ -318,6 +331,10 @@ def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
         obs_sigma2=obs_sigma2,
         cam_fixed=cam_fixed,
         point_valid=m.lm_valid,
+        # single-observation (depth-sensor-created) landmarks are trusted
+        # anchors: they constrain window cameras but BA must not slide them
+        # along their ray (see BAProblem.point_fixed)
+        point_fixed=m.lm_valid & (m.lm_n_obs <= 1),
     )
     res = bundle_adjust(prob, cam, iters=iters)
 

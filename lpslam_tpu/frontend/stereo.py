@@ -39,7 +39,15 @@ def insert_keyframe_depth(
     frame_id,
 ) -> MapStore:
     """Write a keyframe whose unassociated keypoints with valid depth become
-    landmarks immediately (stereo/RGB-D mapping step)."""
+    landmarks immediately (stereo/RGB-D mapping step).
+
+    Includes the engine mapping-thread's map-point FUSION responsibility:
+    a candidate whose 3D position lands within ~2% of depth of an EXISTING
+    valid landmark is a duplicate of it (descriptor matching already failed,
+    e.g. under photometric drift) and is not created — without this, every
+    keyframe re-creates slightly-offset copies of the same physical points,
+    the landmark budget saturates within ~25 keyframes, and BA on the
+    duplicated map diverges."""
     m = insert_keyframe_slots(
         m, pose.R, pose.t, feats.xy, feats.desc, feats.valid, kp_lm_idx, frame_id
     )
@@ -49,6 +57,20 @@ def insert_keyframe_depth(
     rays = unproject_pinhole(cam, feats.xy, depth=depth)  # camera frame
     T_wc = se3_inverse(pose)
     pts = jnp.einsum("ij,nj->ni", T_wc.R, rays) + T_wc.t
+
+    # 3D duplicate suppression against the existing map (squared-distance
+    # matrix via one MXU matmul: |a|^2 + |b|^2 - 2ab)
+    lm = m.lm_pos
+    d2 = (
+        jnp.sum(pts * pts, -1)[:, None]
+        + jnp.sum(lm * lm, -1)[None, :]
+        - 2.0 * pts @ lm.T
+    )
+    dup_r = 0.02 * jnp.maximum(depth, 0.5)               # (N,)
+    dup = jnp.any(
+        (d2 < (dup_r ** 2)[:, None]) & m.lm_valid[None, :], axis=1
+    )
+    good = good & ~dup
 
     M = m.lm_pos.shape[0]
     rank = jnp.cumsum(good.astype(jnp.int32)) - 1

@@ -58,7 +58,7 @@ class ResultQueueEntry:
     raw: Any = None
 
 
-class BoundedQueue(queue.Queue):
+class PyBoundedQueue(queue.Queue):
     """Bounded queue with non-blocking push-drop-oldest semantics option."""
 
     def __init__(self, maxsize: int = 32):
@@ -85,6 +85,58 @@ class BoundedQueue(queue.Queue):
             return self.get(timeout=timeout)
         except queue.Empty:
             return None
+
+
+class NativeBoundedQueue:
+    """Adapter over the C++ GIL-releasing queue (native/src/module.cpp) with
+    the same surface as PyBoundedQueue — the TBB concurrent_bounded_queue
+    role of the reference runs native here too."""
+
+    def __init__(self, native_mod, maxsize: int = 32):
+        self._q = native_mod.BoundedQueue(maxsize=maxsize)
+
+    def push(self, item, drop_oldest: bool = True):
+        if drop_oldest:
+            self._q.push(item, timeout=0.0, drop_oldest=True)
+        else:
+            self._q.push(item)  # blocks until space
+
+    def pop(self, timeout: Optional[float] = None):
+        return self._q.pop(timeout=-1.0 if timeout is None else float(timeout))
+
+    def get_nowait(self):
+        item = self._q.pop(timeout=0.0)
+        if item is None:
+            raise queue.Empty
+        return item
+
+    def get(self, timeout: Optional[float] = None):
+        item = self._q.pop(timeout=-1.0 if timeout is None else float(timeout))
+        if item is None:
+            raise queue.Empty
+        return item
+
+    def put_nowait(self, item):
+        if not self._q.push(item, timeout=0.0):
+            raise queue.Full
+        return None
+
+    def qsize(self) -> int:
+        return self._q.qsize()
+
+    def empty(self) -> bool:
+        return self._q.qsize() == 0
+
+
+def BoundedQueue(maxsize: int = 32):
+    """Queue factory: the native GIL-releasing C++ queue when the toolchain
+    is available, else the stdlib-backed equivalent (identical surface)."""
+    from ..native import get_native
+
+    mod = get_native()
+    if mod is not None:
+        return NativeBoundedQueue(mod, maxsize=maxsize)
+    return PyBoundedQueue(maxsize=maxsize)
 
 
 class ManagedThread:

@@ -363,7 +363,10 @@ class VSLAMTracker(TrackerBase):
         cands = [int(k) for k in order[:3] if scores[k] >= 0.1]
         if not cands:
             return
-        if self.engine.relocalize_with_candidates(feats, cands):
+        # inlier gate scales with the keypoint budget (20 verified inliers
+        # out of 1200 keypoints is too weak a consensus to trust)
+        min_inl = max(30, self.cfg["keypoints"] // 20)
+        if self.engine.relocalize_with_candidates(feats, cands, min_inliers=min_inl):
             self._lost_since = None
             return
         from ..geometry.se3 import SE3
