@@ -130,6 +130,71 @@ def undistort_points_fisheye(xy_d, dist, iters: int = 10):
     return jnp.stack([x * scale, y * scale], axis=-1)
 
 
+def project_omni(p, xi, dist4):
+    """Mei unified omnidirectional model: camera-frame points (...,3) ->
+    normalized distorted coordinates (...,2).
+
+    The reference's `omni` camera model (distortion vector = [xi, k1, k2,
+    p1, p2], /root/reference/src/Utils/ImageProcessing.h:209-240 — NOTE the
+    reference left its omni rectification commented out pending a
+    contrib-OpenCV build; this is a from-scratch implementation of the same
+    cv::omnidir (Mei) model)."""
+    n = jnp.linalg.norm(p, axis=-1, keepdims=True)
+    s = p / jnp.maximum(n, 1e-12)
+    denom = jnp.maximum(s[..., 2:3] + xi, 1e-6)
+    m = s[..., :2] / denom
+    k1, k2, p1, p2 = (dist4[..., i] for i in range(4))
+    x, y = m[..., 0], m[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * k2)
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def omni_undistort_maps(
+    K: np.ndarray,
+    dist5: np.ndarray,
+    image_size: tuple[int, int],
+    R: np.ndarray | None = None,
+    K_new: np.ndarray | None = None,
+):
+    """Remap grid that turns an omni (Mei-model) image into an ideal pinhole
+    view: for each target pixel, cast the K_new/R ray and project it through
+    the omni forward model to find the source sample position.
+
+    dist5 = [xi, k1, k2, p1, p2] (reference layout). Returns (map (H,W,2)
+    float32 source coordinates, K_new (3,3))."""
+    H, W = image_size
+    if K_new is None:
+        # by the reference's convention the projection preserves more of the
+        # field: shrink focal by ~1.7 (ImageProcessing.h:224-228 comment)
+        K_new = np.array(
+            [[W / 1.7, 0, W / 2.0], [0, H / 1.7, H / 2.0], [0, 0, 1.0]]
+        )
+    if R is None:
+        R = np.eye(3)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    rays = np.stack(
+        [
+            (xs - K_new[0, 2]) / K_new[0, 0],
+            (ys - K_new[1, 2]) / K_new[1, 1],
+            np.ones_like(xs),
+        ],
+        axis=-1,
+    )
+    rays = rays @ R  # R^T applied to each ray (target view -> camera frame)
+    xi = float(dist5[0])
+    d4 = jnp.asarray(np.asarray(dist5[1:5], np.float64))
+    md = np.asarray(project_omni(jnp.asarray(rays), xi, d4))
+    u = K[0, 0] * md[..., 0] + K[0, 2]
+    v = K[1, 1] * md[..., 1] + K[1, 2]
+    return (
+        np.stack([u, v], axis=-1).astype(np.float32),
+        np.asarray(K_new, np.float32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stereo rectification (host-side precompute, numpy — runs once at startup,
 # mirroring the reference's cached Undistort maps ImageProcessing.h:130-256).

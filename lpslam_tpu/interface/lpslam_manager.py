@@ -36,6 +36,48 @@ class LpSlamManager:
     def set_camera_configuration(self, cam: CameraConfig) -> None:
         self._m.set_camera_configuration(cam)
 
+    # logging (reference logToFile / setLogLevel) -----------------------------
+
+    def log_to_file(self, filename: str) -> None:
+        import logging
+
+        h = logging.FileHandler(filename)
+        h.setFormatter(logging.Formatter(
+            "%(asctime)s [%(levelname)s] %(name)s: %(message)s"))
+        logging.getLogger("lpslam_tpu").addHandler(h)
+
+    def set_log_level(self, level: str) -> None:
+        """level: 'Debug' | 'Info' | 'Error' (LpSlamLogLevel parity)."""
+        import logging
+
+        lut = {"debug": logging.DEBUG, "info": logging.INFO,
+               "error": logging.WARNING}
+        logging.getLogger("lpslam_tpu").setLevel(
+            lut.get(level.lower(), logging.INFO))
+
+    # run-mode toggles (reference setShowLiveStream/setWriteImageFiles/
+    # setRecord/setRecordImages) ---------------------------------------------
+
+    def set_show_live_stream(self, enabled: bool) -> None:
+        self._m.show_live = bool(enabled)
+
+    def set_write_image_files(self, enabled: bool, directory: str = "lpslam_frames") -> None:
+        self._m.store_images_dir = directory if enabled else None
+
+    def set_record(self, enabled: bool) -> None:
+        self._m.set_recording(enabled)
+
+    def set_record_images(self, enabled: bool) -> None:
+        self._m.recorder.record_images = bool(enabled)
+
+    def read_replay_items(self, filename: str) -> bool:
+        """Attach a recorded .pb stream as an input source (readReplayItems)."""
+        try:
+            self._m.add_source_by_name("Replay", {"file": filename})
+            return True
+        except Exception:
+            return False
+
     # stage registry --------------------------------------------------------
 
     def add_image_data_source(self, type_name: str, config: Optional[dict] = None) -> bool:
@@ -80,12 +122,42 @@ class LpSlamManager:
             timestamp, left, right, camera_number, **kw
         )
 
+    def add_image_from_file(self, filename: str) -> None:
+        """Queue an image file (addImageFromFile parity — finds or creates a
+        FileImageSource to append to)."""
+        from ..pipeline.sources import FileImageSource
+
+        for src in self._m.sources:
+            if isinstance(src, FileImageSource):
+                src.add_image(filename)
+                return
+        src = FileImageSource({})
+        src.add_image(filename)
+        self._m.add_source(src)
+
+    def add_stereo_image_from_files(self, left: str, right: str) -> None:
+        from ..pipeline.sources import FileImageSource
+
+        for src in self._m.sources:
+            if isinstance(src, FileImageSource):
+                src.add_stereo_image(left, right)
+                return
+        src = FileImageSource({})
+        src.add_stereo_image(left, right)
+        self._m.add_source(src)
+
     def add_imu_data(self, timestamp: float, acc, gyro) -> None:
         self._m.add_imu(timestamp, acc, gyro)
 
     def add_global_state(self, timestamp: float, position, rotation,
                          reference: bool = False) -> None:
         self._m.add_global_state(timestamp, position, rotation, reference)
+
+    def update_global_reference_state(self, timestamp: float, position,
+                                      rotation) -> None:
+        """Push a reference (ground-truth) global state
+        (updateGlobalReferenceState parity)."""
+        self._m.add_global_state(timestamp, position, rotation, reference=True)
 
     # callbacks -------------------------------------------------------------
 
@@ -115,6 +187,27 @@ class LpSlamManager:
 
     def mapping_get_features(self, max_count: int = 0):
         return self._m.mapping_get_features(max_count)
+
+    def mapping_get_features_count(self) -> int:
+        return len(self._m.mapping_get_features(0))
+
+    def mapping_set_mode(self, enable_mapping: bool) -> bool:
+        """Freeze/unfreeze mapping on all trackers (mappingSetMode)."""
+        ok = False
+        for tr in self._m.trackers:
+            if hasattr(tr, "set_mapping_mode"):
+                tr.set_mapping_mode(enable_mapping)
+                ok = True
+        return ok
+
+    def mapping_set_filename(self, filename: str) -> bool:
+        """Set the map database save/load path (mappingSetFilename)."""
+        ok = False
+        for tr in self._m.trackers:
+            if hasattr(tr, "cfg") and "map_file" in getattr(tr, "cfg", {}):
+                tr.cfg["map_file"] = filename
+                ok = True
+        return ok
 
     def mapping_export_csv(self, path: str) -> bool:
         return self._m.mapping_export_csv(path)

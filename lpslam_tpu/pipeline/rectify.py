@@ -40,6 +40,36 @@ class RectifyProcessor(ProcessorBase):
 
         from ..geometry.camera import rectify_maps_stereo
 
+        if cam.model == "omni":
+            # Mei unified model (reference's `omni`; its own rectify path is
+            # stubbed out pending contrib OpenCV — ImageProcessing.h:209-240)
+            from ..geometry.camera import omni_undistort_maps
+
+            K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+            m_l, K_new = omni_undistort_maps(
+                K, np.asarray(cam.distortion, np.float64),
+                (cam.height, cam.width),
+                R=cam.rotation if cam.rotation is not None else None,
+            )
+            m_r = None
+            if cam_right is not None:
+                K_r = np.array(
+                    [[cam_right.fx, 0, cam_right.cx],
+                     [0, cam_right.fy, cam_right.cy], [0, 0, 1]]
+                )
+                m_r, _ = omni_undistort_maps(
+                    K_r, np.asarray(cam_right.distortion, np.float64),
+                    (cam.height, cam.width),
+                    R=cam_right.rotation if cam_right.rotation is not None else None,
+                    K_new=K_new,
+                )
+            self._maps = (
+                jnp.asarray(m_l),
+                None if m_r is None else jnp.asarray(m_r),
+            )
+            self.K_new = K_new
+            return
+
         if cam_right is None or cam.rotation is None:
             # mono undistort: identity R, same K
             import cv2

@@ -204,3 +204,48 @@ class TestFrames:
         # OpenVSLAMVConvert (OpenVSLAMTrackerBase.h:22-33).
         v = jnp.asarray([1.0, 0.0, 0.0])
         np.testing.assert_allclose(np.asarray(lpslam_to_optical(v)), [0.0, -1.0, 0.0])
+
+
+class TestOmniModel:
+    """Mei unified omnidirectional model (reference `omni` camera — whose own
+    rectify path is stubbed out; ours is implemented)."""
+
+    def test_undistort_maps_invert_projection(self):
+        import jax.numpy as jnp
+        from lpslam_tpu.geometry.camera import project_omni, omni_undistort_maps
+
+        rng = np.random.default_rng(0)
+        K = np.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1]])
+        dist5 = np.array([0.9, -0.2, 0.05, 1e-3, -1e-3])
+        H, W = 480, 640
+        maps, K_new = omni_undistort_maps(K, dist5, (H, W))
+
+        pts = np.stack(
+            [rng.uniform(-1, 1, 200), rng.uniform(-0.7, 0.7, 200),
+             np.full(200, 2.0)], -1
+        )
+        # source (omni) pixel of each point
+        md = np.asarray(project_omni(jnp.asarray(pts), float(dist5[0]),
+                                     jnp.asarray(dist5[1:5])))
+        src = np.stack([K[0, 0] * md[:, 0] + K[0, 2],
+                        K[1, 1] * md[:, 1] + K[1, 2]], -1)
+        # target (ideal pinhole K_new) pixel
+        tgt = np.stack(
+            [K_new[0, 0] * pts[:, 0] / pts[:, 2] + K_new[0, 2],
+             K_new[1, 1] * pts[:, 1] / pts[:, 2] + K_new[1, 2]], -1)
+        ok = ((tgt[:, 0] > 1) & (tgt[:, 0] < W - 2)
+              & (tgt[:, 1] > 1) & (tgt[:, 1] < H - 2))
+        assert ok.sum() > 100
+        # the map at the target pixel must point back at the source pixel
+        # (bilinear interp of the map grid at the fractional target coords)
+        err = []
+        for t, s in zip(tgt[ok], src[ok]):
+            x0, y0 = int(t[0]), int(t[1])
+            fx, fy = t[0] - x0, t[1] - y0
+            m = (maps[y0, x0] * (1 - fx) * (1 - fy)
+                 + maps[y0, x0 + 1] * fx * (1 - fy)
+                 + maps[y0 + 1, x0] * (1 - fx) * fy
+                 + maps[y0 + 1, x0 + 1] * fx * fy)
+            err.append(np.linalg.norm(m - s))
+        assert np.median(err) < 0.1, np.median(err)
+        assert np.max(err) < 1.0, np.max(err)
