@@ -21,10 +21,18 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import SE3, se3_inverse
 from ..geometry.camera import PinholeCamera, unproject_pinhole
-from ..kernels.orb import OrbFeatures
+from ..kernels.orb import OrbFeatures, OrbParams, extract_orb
 from ..kernels.stereo import match_stereo, depth_from_disparity, refine_disparity_subpixel
 from ..mapstore.store import MapStore, empty_map, insert_keyframe_slots
 from .tracker import MonoTracker, TrackerConfig, TrackerStatus, insert_keyframe, _extract
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _extract_two_eyes(imgs, params: OrbParams) -> OrbFeatures:
+    """Batched L/R extraction: both eyes ride ONE compiled program with a
+    leading batch dim of 2 — the TPU-shaped replacement for the reference's
+    std::async eye pair (OpenVSLAMStereoTracker.cpp:199-213)."""
+    return jax.vmap(lambda im: extract_orb(im, params))(imgs)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -114,7 +122,10 @@ class StereoTracker(MonoTracker):
 
     def _depths(self, feats: OrbFeatures, right_image):
         right = jnp.asarray(right_image, jnp.float32)
-        rfeats = _extract(right, self.cfg.orb)
+        if self._feats_lr is not None:
+            rfeats = jax.tree.map(lambda a: a[1], self._feats_lr)
+        else:
+            rfeats = _extract(right, self.cfg.orb)
         disp, idx_r, ok = match_stereo(
             feats.desc, feats.xy, feats.valid,
             rfeats.desc, rfeats.xy, rfeats.valid,
@@ -129,9 +140,26 @@ class StereoTracker(MonoTracker):
         ok = ok & (disp > 0.5) & (z > 0.0) & (z < self.max_depth)
         return z, ok
 
-    def process(self, image, aux=None):
+    _feats_lr = None  # (2, ...) batched L/R features of the current frame
+
+    def process(self, image, aux=None, nav_prior=None):
         self._last_left = jnp.asarray(image, jnp.float32)
-        return super().process(image, aux=aux)
+        if aux is not None:
+            both = jnp.stack([self._last_left, jnp.asarray(aux, jnp.float32)])
+            self._feats_lr = _extract_two_eyes(both, self.cfg.orb)
+        else:
+            self._feats_lr = None
+        return super().process(image, aux=aux, nav_prior=nav_prior)
+
+    def _extract(self, image) -> OrbFeatures:
+        if self._feats_lr is not None:
+            feats = jax.tree.map(lambda a: a[0], self._feats_lr)
+            if self.mask is not None:
+                from .tracker import _apply_mask
+
+                feats = _apply_mask(feats, self.mask)
+            return feats
+        return super()._extract(image)
 
     def _try_initialize(self, feats: OrbFeatures, aux=None) -> bool:
         z, ok = self._depths(feats, aux)
@@ -182,6 +210,11 @@ class RGBDTracker(StereoTracker):
         MonoTracker.__init__(self, cam, cfg)
         self.min_depth = float(min_depth)
         self.max_depth = float(max_depth)
+
+    def process(self, image, aux=None, nav_prior=None):
+        # aux is a depth map, not a second eye — mono-style extraction
+        self._feats_lr = None
+        return MonoTracker.process(self, image, aux=aux, nav_prior=nav_prior)
 
     def _depths(self, feats: OrbFeatures, depth_map):
         d = jnp.asarray(depth_map, jnp.float32)

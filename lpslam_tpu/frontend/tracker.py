@@ -475,11 +475,16 @@ class MonoTracker:
 
     # -- public API ---------------------------------------------------------
 
-    def process(self, image, aux=None) -> tuple:
+    def process(self, image, aux=None, nav_prior=None) -> tuple:
         """Feed one frame. Returns (status, pose Tcw as SE3|None).
 
         aux: sensor-specific extra input (right image for stereo, depth map
         for RGB-D) — unused by the monocular tracker.
+        nav_prior: optional SE3 Tcw pose prediction from navigation data
+        (odometry delta composed on the last pose, or a map-frame state) —
+        replaces the constant-velocity prediction when present, matching the
+        engine's per-feed navigation_state prior
+        (/root/reference/src/Trackers/OpenVSLAMTracker.cpp:76-120).
         """
         # frame boundary: adopt the previous frame's mapping result (async
         # mapping double-buffer — see TrackerConfig.async_mapping)
@@ -513,7 +518,12 @@ class MonoTracker:
                 self._record(None)
         else:  # TRACKING or LOST
             lost = st == TrackerStatus.LOST
-            pred = self.pose if lost else se3_compose(self.velocity, self.pose)
+            if nav_prior is not None:
+                pred = nav_prior
+            elif lost:
+                pred = self.pose
+            else:
+                pred = se3_compose(self.velocity, self.pose)
             radius = self.cfg.match_radius_lost if lost else self.cfg.match_radius
             tr = track_frame(
                 self.map, pred, self.cam, feats, radius, self.cfg.match_max_hamming

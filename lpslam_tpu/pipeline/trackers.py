@@ -170,6 +170,12 @@ class VSLAMTracker(TrackerBase):
         self._mask_pending = bool(self.cfg["mask_radius"] or self.cfg["mask_image"])
         self._sensor_queue = None
         self._last_map_emit = 0.0
+        # nav-state fusion (OpenVSLAMTracker.cpp:76-120 per-feed prior):
+        # last odometry state, used to form a frame-to-frame delta
+        self._last_nav_odom = None
+        # last reference (ground-truth) pose seen on the sensor stream
+        # (OpenVSLAMStereoTracker.cpp:70-104 set_current_ref_pose parity)
+        self.ref_pose = None
 
         # map persistence parity: load map.db-equivalent if configured
         if self.cfg["map_file"]:
@@ -227,9 +233,44 @@ class VSLAMTracker(TrackerBase):
             return []
         if self._mask_pending:
             self._configure_mask(entry.image.shape[:2])
+
+        # reference-pose injection: ground-truth states on the sensor stream
+        # are latched and surfaced (set_current_ref_pose parity)
+        for sv in sensor_values:
+            if getattr(sv, "kind", None) == "global_state" and sv.reference \
+                    and sv.state is not None:
+                self.ref_pose = sv.state
+
+        # per-frame navigation prior: a map-frame state is an absolute Tcw
+        # prediction; odometry contributes its frame-to-frame DELTA composed
+        # onto the last tracked pose (frame offset between the odometry world
+        # and the map world cancels in the delta)
+        nav_prior = None
+        from ..geometry.se3 import SE3 as _SE3, se3_compose as _compose, \
+            se3_inverse as _inv
+        import jax.numpy as _jnp
+
+        def _tcw(state):
+            pos, R_wc = state
+            Rn = np.asarray(R_wc, np.float32)
+            tn = -Rn.T @ np.asarray(pos, np.float32)
+            return _SE3(_jnp.asarray(Rn.T), _jnp.asarray(tn))
+
+        if nav_map is not None:
+            nav_prior = _tcw(nav_map)
+        elif (
+            nav_odom is not None
+            and self._last_nav_odom is not None
+            and self.engine.status == TrackerStatus.TRACKING
+        ):
+            delta = _compose(_tcw(nav_odom), _inv(_tcw(self._last_nav_odom)))
+            nav_prior = _compose(delta, self.engine.pose)
+        if nav_odom is not None:
+            self._last_nav_odom = nav_odom
+
         t0 = time.monotonic()
         aux = entry.image_second if self.cfg["mode"] == "stereo" else entry.aux
-        st, pose = self.engine.process(entry.image, aux=aux)
+        st, pose = self.engine.process(entry.image, aux=aux, nav_prior=nav_prior)
         self._frame_times.append(time.monotonic() - t0)
         if len(self._frame_times) > 30:
             self._frame_times.pop(0)
@@ -411,12 +452,9 @@ class VSLAMTracker(TrackerBase):
             return None
         cs = self.cfg["occupancy_cell_size"]
         # optical frame: x right, z forward — the ground plane is (x, z)
-        centers = []
-        for k in range(nk):
-            R = np.asarray(m.kf_R[k])
-            t = np.asarray(m.kf_t[k])
-            centers.append(-R.T @ t)
-        centers = np.asarray(centers)
+        kf_R = np.asarray(m.kf_R[:nk])
+        kf_t = np.asarray(m.kf_t[:nk])
+        centers = -np.einsum("kij,kj->ki", kf_R.transpose(0, 2, 1), kf_t)
         all_xy = np.concatenate([pts[:, [0, 2]], centers[:, [0, 2]]], 0)
         lo = all_xy.min(0) - 3 * cs
         hi = all_xy.max(0) + 3 * cs
@@ -427,35 +465,36 @@ class VSLAMTracker(TrackerBase):
             c = ((xy - lo) / cs).astype(int)
             return np.clip(c, 0, shape - 1)
 
-        def carve_ray(c0, c1):
-            """Mark cells between c0 and c1 (exclusive) free unless occupied."""
-            d = np.abs(c1 - c0)
-            n = int(max(d[0], d[1]))
-            if n == 0:
-                return
-            for s in range(n):
-                c = np.round(c0 + (c1 - c0) * (s / n)).astype(int)
-                if grid[c[1], c[0]] != 100:
-                    grid[c[1], c[0]] = 0
-
-        # raytrace free space from each keyframe to its observed landmarks,
-        # then stamp landmark cells occupied (standard log-odds-free variant
-        # of the fork's occupancy export)
+        # fully-vectorized free-space carving: every (keyframe, observed
+        # landmark) pair is one ray; all rays are sampled at S points in one
+        # broadcasted op (no per-cell Python stepping). Rays are uniformly
+        # subsampled only if the total exceeds a budget — never silently by
+        # a fixed stride.
+        kf_lm = np.asarray(m.kf_lm_idx[:nk])
+        kk, nn = np.nonzero(kf_lm >= 0)
+        lm_idx = kf_lm[kk, nn]
+        keep = lmv[lm_idx]
+        kk, lm_idx = kk[keep], lm_idx[keep]
+        # one ray per unique (keyframe, landmark)
+        uniq = np.unique(np.stack([kk, lm_idx], 1), axis=0)
+        MAX_RAYS = 200_000
+        if len(uniq) > MAX_RAYS:
+            sel = np.random.default_rng(0).permutation(len(uniq))[:MAX_RAYS]
+            uniq = uniq[sel]
+        if len(uniq):
+            lm_world = np.asarray(m.lm_pos)
+            src = centers[uniq[:, 0]][:, [0, 2]]              # (R, 2)
+            dst = lm_world[uniq[:, 1]][:, [0, 2]]             # (R, 2)
+            max_len_cells = np.max(np.abs(dst - src)) / cs + 1
+            S = int(np.clip(max_len_cells, 2, 96))
+            ts = np.linspace(0.0, 1.0 - 1.0 / S, S)[None, :, None]
+            rays = src[:, None, :] + (dst - src)[:, None, :] * ts  # (R,S,2)
+            cells = to_cell(rays.reshape(-1, 2))
+            grid[cells[:, 1], cells[:, 0]] = 0
+        cam_cells = to_cell(centers[:, [0, 2]])
+        grid[cam_cells[:, 1], cam_cells[:, 0]] = 0
         lm_cells = to_cell(pts[:, [0, 2]])
-        kf_lm = np.asarray(m.kf_lm_idx)
-        lm_ids = np.flatnonzero(lmv)
-        id_to_row = {int(l): i for i, l in enumerate(lm_ids)}
-        for k in range(nk):
-            c0 = to_cell(centers[k, [0, 2]][None])[0]
-            grid[c0[1], c0[0]] = 0
-            seen = {int(l) for l in kf_lm[k] if l >= 0}
-            # subsample rays for large keyframes (export stays interactive)
-            for l in list(seen)[::4]:
-                row = id_to_row.get(l)
-                if row is not None:
-                    carve_ray(c0.astype(float), lm_cells[row].astype(float))
-        for c in lm_cells:
-            grid[c[1], c[0]] = 100
+        grid[lm_cells[:, 1], lm_cells[:, 0]] = 100
         for scan in self._laser_buffer:
             angles = scan.angle_min + np.arange(len(scan.ranges)) * scan.angle_increment
             ok = (scan.ranges > 0) & (scan.ranges < scan.range_max)
