@@ -31,7 +31,8 @@ from .queues import (
     FramerateCompute,
 )
 from .record import RecordEngine, ReplayEngine, _encode_jpeg
-from .sources import ImageSourceBase, FileImageSource, SyntheticSource, OpenCVCameraSource, ReplaySource
+from .sources import (ImageSourceBase, FileImageSource, SyntheticSource,
+                      OpenCVCameraSource, ReplaySource, ZedOpenCaptureSource)
 from .processors import (
     ProcessorBase,
     BlackoutImageProcessor,
@@ -60,9 +61,13 @@ class SlamStatus:
 
 SOURCE_REGISTRY = {
     "File": FileImageSource,
+    "FileSource": FileImageSource,        # reference datasource name
     "OpenCV": OpenCVCameraSource,
     "Synthetic": SyntheticSource,
-    "Webots": SyntheticSource,   # simulation alias
+    "Webots": SyntheticSource,            # simulation alias
+    "Zed": ZedOpenCaptureSource,          # reference datasource name
+    "ZedSdk": ZedOpenCaptureSource,       # same UVC endpoint, auto_gain covers
+                                          # the SDK source's intensity servo
     "Replay": ReplaySource,
 }
 

@@ -280,6 +280,133 @@ class OpenCVCameraSource(ImageSourceBase):
             self._cap = None
 
 
+class ZedOpenCaptureSource(ImageSourceBase):
+    """ZED-family stereo USB camera (ZED / ZED mini / ZED 2).
+
+    The ZED presents as a standard UVC device emitting one double-width
+    YUYV side-by-side stereo frame, which is exactly what the reference's
+    vendored libusb driver reads (/root/reference/external/zed-open-capture,
+    used by src/Sources/ZedOpenCaptureCameraSource.cpp). Here the capture
+    rides cv2.VideoCapture/V4L2 on the same UVC endpoint — capture is
+    host-side I/O, not TPU work (SURVEY.md §2.2) — and reproduces the
+    reference source's behavior:
+
+    - mode table keyed by per-eye height (ZedOpenCaptureCameraSource.cpp:
+      133-162): 376 = VGA, 720 = HD720, 1080 = HD1080, 1242 = HD2K; fps in
+      {15, 30, 60, 100} set at driver level, or 0 = leave the default
+    - fps_scaling: open at the camera's native rate and software-throttle
+      to `fps` by frame timestamp (reference worker :27-35)
+    - YUYV -> grayscale (or BGR) before anything else (:42-50)
+    - side-by-side eye split with the ZED's 12 cm baseline stamped on the
+      per-eye coordinate bases (:76-84)
+    - exposure > 0 sets manual exposure on both sensors, else auto (:190-196)
+    - auto_gain: the ZedSdkSource's intensity-servo law, gain =
+      30 + (1 - mean/255) * 60 every 5th frame (ZedSdkSource.cpp:56-64)
+    """
+
+    # per-eye (width, height) -> full side-by-side capture width
+    MODES = {376: (672, 1344), 720: (1280, 2560), 1080: (1920, 3840),
+             1242: (2208, 4416)}
+    VALID_FPS = (0, 15, 30, 60, 100)
+
+    schema = (
+        ConfigOptions()
+        .optional("camera_number", int, -1)   # -1 = first available
+        .optional("grayscale", bool, True)
+        .optional("width", int, 0)
+        .optional("height", int, 0)
+        .optional("fps", int, 0)
+        .optional("exposure", int, 0)
+        .optional("fps_scaling", bool, False)
+        .optional("auto_gain", bool, False)
+        .optional("open_retries", int, 5)
+        .optional("baseline", float, 0.12)
+    )
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        self._cap = None
+        self._last_ts = 0.0
+        self._frame_number = 0
+
+    def start(self, camera_queue: BoundedQueue):
+        import cv2
+
+        h = self.cfg["height"]
+        if h and h not in self.MODES:
+            raise RuntimeError(f"resolution height {h} not supported by ZED camera")
+        fps = self.cfg["fps"]
+        if not self.cfg["fps_scaling"] and fps not in self.VALID_FPS:
+            raise RuntimeError(f"FPS {fps} not supported by ZED camera")
+
+        dev = max(self.cfg["camera_number"], 0)
+        for _ in range(self.cfg["open_retries"]):
+            self._cap = cv2.VideoCapture(dev)
+            if self._cap.isOpened():
+                break
+            time.sleep(0.5)
+        if self._cap is None or not self._cap.isOpened():
+            raise RuntimeError(f"cannot open ZED camera {dev}")
+        # raw YUYV off the UVC endpoint; disable cv2's own conversion
+        self._cap.set(cv2.CAP_PROP_FOURCC, cv2.VideoWriter_fourcc(*"YUYV"))
+        self._cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+        if h:
+            self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, self.MODES[h][1])
+            self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, h)
+        if fps and not self.cfg["fps_scaling"]:
+            self._cap.set(cv2.CAP_PROP_FPS, fps)
+        if self.cfg["exposure"] > 0:
+            self._cap.set(cv2.CAP_PROP_AUTO_EXPOSURE, 1)  # manual (V4L2)
+            self._cap.set(cv2.CAP_PROP_EXPOSURE, self.cfg["exposure"])
+        super().start(camera_queue)
+
+    def _loop(self, thread: ManagedThread):
+        import cv2
+
+        ok, raw = self._cap.read()
+        if not ok or raw is None:
+            # invalid frame: sleep-and-continue, matching the reference
+            # worker (ZedOpenCaptureCameraSource.cpp:18-23)
+            time.sleep(0.05)
+            return
+        now = time.time()
+        if self.cfg["fps_scaling"] and self.cfg["fps"] > 0:
+            if now - self._last_ts < 1.0 / self.cfg["fps"]:
+                return  # no new frame wanted yet
+            self._last_ts = now
+        self._frame_number += 1
+
+        if raw.ndim == 2 and raw.shape[1] % 2 == 0 and raw.dtype == np.uint8:
+            # packed YUYV: reinterpret as (H, W, 2)
+            raw = raw.reshape(raw.shape[0], raw.shape[1] // 2, 2)
+        if raw.ndim == 3 and raw.shape[2] == 2:
+            code = cv2.COLOR_YUV2GRAY_YUYV if self.cfg["grayscale"] \
+                else cv2.COLOR_YUV2BGR_YUYV
+            frame = cv2.cvtColor(raw, code)
+        elif raw.ndim == 3:
+            frame = cv2.cvtColor(raw, cv2.COLOR_BGR2GRAY) if self.cfg["grayscale"] else raw
+        else:
+            frame = raw
+
+        if self.cfg["auto_gain"] and self._frame_number % 5 == 0:
+            mean = float(frame.mean())
+            gain = 30.0 + (1.0 - mean / 255.0) * 60.0
+            self._cap.set(cv2.CAP_PROP_GAIN, round(gain))
+
+        gray = frame.astype(np.float32)
+        half = gray.shape[1] // 2
+        left, right = gray[:, :half], gray[:, half:]
+        self.camera_queue.push(
+            CameraQueueEntry(timestamp=now, image=left, image_second=right)
+        )
+
+    def stop(self):
+        super().stop()
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
 class ReplaySource(ImageSourceBase):
     """Wrapper source that streams a recorded .pb file (see record.ReplayEngine)."""
 
