@@ -23,3 +23,15 @@ lp-research/lpslam (lpslam pipeline + its OpenVSLAM fork + DBoW2 + g2o):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU MXU defaults f32 matmuls to bf16 inputs. SLAM geometry (triangulation,
+# pose optimization, Schur blocks) collapses under an 8-bit mantissa — on a
+# real chip the map silently starves (~16x fewer landmarks) and tracking is
+# lost within ~60 frames, while CPU runs are unaffected. Correctness first:
+# force full f32 everywhere, then opt individual large, provably-exact
+# matmuls (binary-descriptor Hamming popcounts, BoW assignment — small-int
+# values) back into bf16/int8 MXU paths per-op via `precision=` where the
+# win is measured.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -193,8 +193,13 @@ def steered_brief_binned(blurred, xy, angle):
     big = jnp.transpose(_SAMPLE_MATS, (1, 0, 2)).reshape(
         _PATCH * _PATCH, N_ANGLE_BINS * 512
     )
+    # bf16 MXU is exact here: `big` is one-hot 0/1, so each product is just
+    # the (bf16-rounded) pixel value — descriptor bits compare intensities
+    # whose noise floor dwarfs bf16 rounding. The package default is
+    # `highest` (geometry safety, see lpslam_tpu/__init__.py); opt out.
     vals_all = jnp.dot(
-        patches, big, preferred_element_type=jnp.float32
+        patches, big, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ).reshape(n, N_ANGLE_BINS, 512)
     bins = jnp.mod(
         jnp.round((angle + np.pi) * (N_ANGLE_BINS / (2 * np.pi))).astype(jnp.int32),

@@ -34,6 +34,9 @@ def _band_kernel(hw_ref, img_hbm, out_ref, scratch, band_out, sem, *, thr_hi,
     Hp = img_hbm.shape[0]
     band_h = tile_h + 2 * HALO
     start = jnp.clip(i * tile_h - HALO, 0, Hp - band_h)
+    # always a multiple of 8 (tile_h % 8 == HALO % 8 == 0, Hp - band_h too),
+    # but Mosaic needs the divisibility hint to tile the HBM slice
+    start = pl.multiple_of(start, 8)
     copy = pltpu.make_async_copy(
         img_hbm.at[pl.ds(start, band_h), :], scratch, sem
     )

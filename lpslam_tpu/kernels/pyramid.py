@@ -35,18 +35,22 @@ def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
     """Separable Gaussian blur on a (H, W) image. Edge-replicate padding.
 
     Matches the role of the 7x7 blur ORB applies before BRIEF sampling.
+    Implemented as shift-and-add (2*(2r+1) weighted shifted views, fused by
+    XLA into VPU elementwise work): a 1-channel conv_general_dilated lowers
+    to a degenerate single-feature convolution on TPU that costs ~2 ms at
+    bf16 and ~7 ms at f32 for 480p — ~50x this formulation.
     """
     k = gaussian_kernel1d(sigma, radius)
-    img4 = img[None, None, :, :]
-    kh = k.reshape(1, 1, -1, 1)
-    kw = k.reshape(1, 1, 1, -1)
-    pad_h = [(0, 0), (0, 0), (radius, radius), (0, 0)]
-    pad_w = [(0, 0), (0, 0), (0, 0), (radius, radius)]
-    x = jnp.pad(img4, pad_h, mode="edge")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-    x = jnp.pad(x, pad_w, mode="edge")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
-    return x[0, 0]
+    h, w = img.shape
+    xpad = jnp.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    out = jnp.zeros_like(img)
+    for i in range(2 * radius + 1):
+        out = out + k[i] * jax.lax.dynamic_slice(xpad, (i, 0), (h, w))
+    ypad = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+    out = jnp.zeros_like(img)
+    for i in range(2 * radius + 1):
+        out = out + k[i] * jax.lax.dynamic_slice(ypad, (0, i), (h, w))
+    return out
 
 
 def _resize(img, shape):
