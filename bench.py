@@ -4,11 +4,20 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Workload (the reference's own operating point, OpenVSLAMTrackerBase.cpp:35,193):
 1200 keypoints, 3 pyramid levels, 640x480 frames from the ray-cast room
-benchmark (true 3D scene, lens distortion), through the complete tracker
-stage: in-path undistortion (device remap) -> ORB extraction -> map
+benchmark (true 3D scene, lens distortion), through the complete tracker:
+in-path undistortion (device remap) -> ORB extraction -> map
 projection/matching -> pose optimization -> keyframe insertion +
-triangulation + local BA + cull/compact (async-dispatched, amortized into
-the stream) — i.e. what a user-visible tracked frame actually costs.
+triangulation + windowed local BA — i.e. what a user-visible tracked frame
+costs, including the raw-frame uploads.
+
+Architecture note: tracking runs as the device-resident chunked scan loop
+(lpslam_tpu/frontend/device_loop.py) — raw uint8 frames are staged in
+chunks, one compiled program advances B frames (extract/match/optimize +
+lax.cond keyframe mapping), per-frame results stay on device until the end.
+A per-frame host-synced loop is latency-bound at ~15-40 fps on a
+remote-attached chip regardless of kernel speed; the chunk loop is the
+TPU-native frame loop. The measured window covers uploads, all chunk scans,
+chunk-boundary local BA, and the final sync.
 
 Baseline anchor (BASELINE.md): OpenVSLAM-class CPU trackers run ~30 fps on
 desktop CPUs; the target is >= 2x that on one TPU chip => vs_baseline =
@@ -22,51 +31,80 @@ import time
 import numpy as np
 
 
+CHUNK = 16
+
+
 def main():
     from lpslam_tpu.io.benchmark import SyntheticBenchmark
     from lpslam_tpu.eval.run_dataset import build_rectifier
     from lpslam_tpu.pipeline.queues import CameraQueueEntry
-    from lpslam_tpu.pipeline.trackers import VSLAMTracker
+    from lpslam_tpu.frontend import MonoTracker, TrackerConfig, TrackerStatus
+    from lpslam_tpu.frontend.device_loop import ChunkedTracker
+    from lpslam_tpu.kernels.orb import OrbParams
+    from lpslam_tpu.mapstore import MapConfig
 
-    n_warm, n_meas = 60, 150
-    total = n_warm + n_meas
-    # pre-render on host so the measurement is pure pipeline time
+    n_warm, n_meas = 32, 160
+    total = n_warm + n_meas + 18
+    # pre-render on host so the measurement is pure pipeline time; raw uint8
+    # frames, exactly what a camera delivers
     ds = SyntheticBenchmark(
         num_frames=total, h=480, w=640, seed=0,
         turns=1.08 * total / 556.0,   # design per-frame motion rate
     )
-    frames = list(ds)
+    frames_u8 = np.stack(
+        [np.clip(f.image, 0, 255).astype(np.uint8) for f in ds]
+    )
 
     proc, cam, _ = build_rectifier(ds.intr, "mono")
-    tracker = VSLAMTracker(cam, {
-        "mode": "mono",
-        "keypoints": 1200,
-        "levels": 3,
-        "max_keyframes": 128,
-        "max_landmarks": 24576,
-    })
+    cfg = TrackerConfig(
+        orb=OrbParams(num_keypoints=1200, num_levels=3),
+        map_cfg=MapConfig(
+            max_keyframes=128, max_landmarks=24576, num_keypoints=1200
+        ),
+    )
+    engine = MonoTracker(cam, cfg)
 
-    def step(frame):
-        entry = CameraQueueEntry(timestamp=frame.timestamp, image=frame.image)
-        if proc is not None:
-            entry = proc.process_image(entry)
-        tracker.process_image(entry)
+    def rectify(img):
+        entry = CameraQueueEntry(timestamp=0.0, image=img.astype(np.float32))
+        return proc.process_image(entry).image if proc is not None else img
 
-    frame_times = []
-    t_meas0 = None
-    for i, frame in enumerate(frames):
-        if i == n_warm:
-            t_meas0 = time.perf_counter()
-        t0 = time.perf_counter()
-        step(frame)
-        if i >= n_warm:
-            frame_times.append(time.perf_counter() - t0)
-    # close out any in-flight mapping work so the clock covers everything
-    nk = tracker.engine.n_keyframes
+    # initialization runs on the host path (rare transition), then the
+    # steady TRACKING loop rides the chunked device scan
+    t = 0
+    while engine.status != TrackerStatus.TRACKING and t < n_warm:
+        engine.process(rectify(frames_u8[t]))
+        t += 1
+    rmap = np.asarray(proc._maps[0]) if proc is not None else None
+    ct = ChunkedTracker(engine, rectify_map=rmap)
+
+    # warmup: compile the scan + one boundary local BA
+    while t < n_warm:
+        b = min(CHUNK, n_warm - t)
+        ct.process_chunk(frames_u8[t:t + b])
+        t += b
+    ct.sync()
+
+    # measurement: chunked loop with upload/compute overlap — stage chunk
+    # k+1 while chunk k scans
+    t_meas0 = time.perf_counter()
+    chunk_times = []
+    nxt = ct.prefetch(frames_u8[t:t + CHUNK])
+    done = 0
+    while done < n_meas:
+        cur = nxt
+        t += CHUNK
+        if t + CHUNK <= len(frames_u8):
+            nxt = ct.prefetch(frames_u8[t:t + CHUNK])
+        tc = time.perf_counter()
+        ct.process_chunk(cur)
+        chunk_times.append(time.perf_counter() - tc)
+        done += CHUNK
+    ct.sync()  # blocks until the full pipeline drains
     wall = time.perf_counter() - t_meas0
-    fps = n_meas / wall
+    fps = done / wall
 
-    ft = np.asarray(frame_times)
+    sts, n_inl, _, _, kf_ins = ct.collect()
+    ct_ms = np.asarray(chunk_times) / CHUNK * 1e3
     print(
         json.dumps(
             {
@@ -78,13 +116,15 @@ def main():
                     "keypoints": 1200,
                     "levels": 3,
                     "resolution": "640x480",
-                    "frames_measured": n_meas,
-                    "keyframes": nk,
-                    "landmarks": tracker.engine.n_landmarks,
-                    "state": tracker.engine.status.name,
-                    "frame_ms_median": round(float(np.median(ft)) * 1e3, 2),
-                    "frame_ms_p95": round(float(np.percentile(ft, 95)) * 1e3, 2),
-                    "frame_ms_max": round(float(ft.max()) * 1e3, 2),
+                    "chunk": CHUNK,
+                    "frames_measured": done,
+                    "tracking_fraction": round(float((sts == 2).mean()), 3),
+                    "median_inliers": int(np.median(n_inl)),
+                    "keyframes": int(engine._kf_count),
+                    "landmarks": engine.n_landmarks,
+                    "state": engine.status.name,
+                    "frame_ms_median": round(float(np.median(ct_ms)), 2),
+                    "frame_ms_p95": round(float(np.percentile(ct_ms, 95)), 2),
                 },
             }
         )

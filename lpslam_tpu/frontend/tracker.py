@@ -86,6 +86,11 @@ class TrackerConfig(NamedTuple):
     # published map while the device works. Adoption at a frame boundary
     # keeps replay deterministic.
     async_mapping: bool = True
+    # local-map size for per-frame matching (track_frame local_cap): the
+    # tracking matcher sees the best `track_local_cap` landmarks (visible
+    # first), not the whole store — matching cost scales with the local map
+    # like the reference engine's local-map tracking. 0 = unlimited.
+    track_local_cap: int = 4096
     # constant-velocity prediction gain. 1.0 = full velocity extrapolation;
     # 0.0 = constant-position. Values < 1 damp the pose-error feedback loop
     # (prediction error feeds match selection feeds the next pose): with gain
@@ -108,7 +113,7 @@ class TrackResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "max_hamming"))
+@functools.partial(jax.jit, static_argnames=("local_cap",))
 def track_frame(
     m: MapStore,
     pose_pred: SE3,
@@ -116,19 +121,43 @@ def track_frame(
     feats: OrbFeatures,
     radius: float,
     max_hamming: int,
+    local_cap: Optional[int] = None,
 ) -> TrackResult:
-    """Project the map into the predicted view, match in windows, optimize."""
+    """Project the map into the predicted view, match in windows, optimize.
+
+    local_cap: match against at most this many landmarks — the currently
+    visible ones, ranked by found-ratio, selected with one top_k. This is
+    the TPU shape of the engine's LOCAL map (the reference never matches the
+    whole database either): matching cost scales with the local-map size,
+    not the store capacity. None = use every landmark slot.
+    """
+    P = m.lm_pos.shape[0]
     p_c = jnp.einsum("ij,nj->ni", pose_pred.R, m.lm_pos) + pose_pred.t
-    uv_pred = project_pinhole(cam, p_c)
+    uv_pred_full = project_pinhole(cam, p_c)
     h_margin = 0.0
-    visible = (
+    visible_full = (
         m.lm_valid
         & (p_c[:, 2] > 1e-3)
-        & (uv_pred[:, 0] >= -h_margin)
-        & (uv_pred[:, 1] >= -h_margin)
+        & (uv_pred_full[:, 0] >= -h_margin)
+        & (uv_pred_full[:, 1] >= -h_margin)
     )
+    if local_cap is not None and local_cap < P:
+        found_ratio = m.lm_n_found.astype(jnp.float32) / (
+            m.lm_n_visible.astype(jnp.float32) + 1.0
+        )
+        score = visible_full.astype(jnp.float32) * 2.0 + found_ratio
+        _, sel = jax.lax.top_k(score, local_cap)
+        sel = sel.astype(jnp.int32)
+    else:
+        sel = jnp.arange(P, dtype=jnp.int32)
+    lm_pos = m.lm_pos[sel]
+    lm_desc = m.lm_desc[sel]
+    lm_valid = m.lm_valid[sel]
+    visible = visible_full[sel]
+    uv_pred = uv_pred_full[sel]
+
     idx, ok = match_projected(
-        m.lm_desc,
+        lm_desc,
         uv_pred,
         visible,
         feats.desc,
@@ -142,40 +171,42 @@ def track_frame(
     # 6 annealed iterations converge identically to 10 on the e2e ATE
     # benchmarks; the pose solve is latency-bound (serial 6x6 solves)
     res = pose_only_optimize(
-        pose_pred, cam, m.lm_pos, uv_obs, ok, sigma2=sigma2, iters=6
+        pose_pred, cam, lm_pos, uv_obs, ok, sigma2=sigma2, iters=6
     )
     # second stage (the engine's track-local-map refine): re-project with the
     # optimized pose, re-match in a tight window, re-optimize
-    p_c = jnp.einsum("ij,nj->ni", res.pose.R, m.lm_pos) + res.pose.t
-    uv_pred = project_pinhole(cam, p_c)
-    visible = m.lm_valid & (p_c[:, 2] > 1e-3)
+    p_c2 = jnp.einsum("ij,nj->ni", res.pose.R, lm_pos) + res.pose.t
+    uv_pred2 = project_pinhole(cam, p_c2)
+    visible2 = lm_valid & (p_c2[:, 2] > 1e-3)
     idx, ok = match_projected(
-        m.lm_desc, uv_pred, visible, feats.desc, feats.xy, feats.valid,
+        lm_desc, uv_pred2, visible2, feats.desc, feats.xy, feats.valid,
         radius=6.0, max_distance=max_hamming,
     )
     uv_obs = feats.xy[idx]
     sigma2 = jnp.float32(1.2) ** (2.0 * feats.level[idx].astype(jnp.float32))
     res = pose_only_optimize(
-        res.pose, cam, m.lm_pos, uv_obs, ok, sigma2=sigma2, iters=4
+        res.pose, cam, lm_pos, uv_obs, ok, sigma2=sigma2, iters=4
     )
-    # invert association: frame keypoint -> landmark id
+    # invert association: frame keypoint -> FULL-store landmark id
     n_kp = feats.xy.shape[0]
-    lm_ids = jnp.arange(m.lm_pos.shape[0], dtype=jnp.int32)
     kp_lm = jnp.full((n_kp,), -1, jnp.int32)
     good_lm = ok & res.inlier
     kp_lm = kp_lm.at[jnp.where(good_lm, idx, n_kp)].set(
-        jnp.where(good_lm, lm_ids, -1), mode="drop"
+        jnp.where(good_lm, sel, -1), mode="drop"
     )
-    # landmark visibility statistics (engine landmark-culling bookkeeping)
+    # landmark visibility statistics (engine landmark-culling bookkeeping),
+    # scattered back through the selection
+    vis_upd = jnp.zeros((P,), jnp.int32).at[sel].add(visible2.astype(jnp.int32))
+    found_upd = jnp.zeros((P,), jnp.int32).at[sel].add(good_lm.astype(jnp.int32))
     m = m._replace(
-        lm_n_visible=m.lm_n_visible + visible.astype(jnp.int32),
-        lm_n_found=m.lm_n_found + good_lm.astype(jnp.int32),
+        lm_n_visible=m.lm_n_visible + vis_upd,
+        lm_n_found=m.lm_n_found + found_upd,
     )
     return TrackResult(
         pose=res.pose,
         n_inliers=res.n_inliers,
         kp_lm_idx=kp_lm,
-        n_visible=jnp.sum(visible).astype(jnp.int32),
+        n_visible=jnp.sum(visible2).astype(jnp.int32),
         map=m,
     )
 
@@ -465,6 +496,10 @@ class MonoTracker:
         self._kf_count = 2
         return True
 
+    def _local_cap(self) -> Optional[int]:
+        cap = self.cfg.track_local_cap
+        return cap if cap and cap < self.cfg.map_cfg.max_landmarks else None
+
     def _keyframe_needed(self, n_inliers: int) -> bool:
         since = self.frame_id - self.last_kf_frame
         if since < self.cfg.kf_min_interval:
@@ -526,7 +561,8 @@ class MonoTracker:
                 pred = se3_compose(self.velocity, self.pose)
             radius = self.cfg.match_radius_lost if lost else self.cfg.match_radius
             tr = track_frame(
-                self.map, pred, self.cam, feats, radius, self.cfg.match_max_hamming
+                self.map, pred, self.cam, feats, radius,
+                self.cfg.match_max_hamming, local_cap=self._local_cap(),
             )
             self.map = tr.map  # adopt visibility statistics
             n_inl = int(tr.n_inliers)
