@@ -31,6 +31,9 @@ import time
 import numpy as np
 
 
+# 16 and 32 measure identically (the remote-tunnel upload bandwidth
+# ~27 ms/MB is the binding constraint at ~8 ms/frame of raw uint8 ingest;
+# compute overlaps underneath it) — prefer the lower-latency chunk
 CHUNK = 16
 
 
@@ -43,8 +46,8 @@ def main():
     from lpslam_tpu.kernels.orb import OrbParams
     from lpslam_tpu.mapstore import MapConfig
 
-    n_warm, n_meas = 32, 160
-    total = n_warm + n_meas + 18
+    n_init, n_meas = 16, 160
+    total = n_init + 2 * CHUNK + n_meas + CHUNK
     # pre-render on host so the measurement is pure pipeline time; raw uint8
     # frames, exactly what a camera delivers
     ds = SyntheticBenchmark(
@@ -71,17 +74,18 @@ def main():
     # initialization runs on the host path (rare transition), then the
     # steady TRACKING loop rides the chunked device scan
     t = 0
-    while engine.status != TrackerStatus.TRACKING and t < n_warm:
+    while engine.status != TrackerStatus.TRACKING and t < n_init:
         engine.process(rectify(frames_u8[t]))
         t += 1
     rmap = np.asarray(proc._maps[0]) if proc is not None else None
     ct = ChunkedTracker(engine, rectify_map=rmap)
 
-    # warmup: compile the scan + one boundary local BA
-    while t < n_warm:
-        b = min(CHUNK, n_warm - t)
-        ct.process_chunk(frames_u8[t:t + b])
-        t += b
+    # warmup: two full CHUNK-sized scans so the one compiled program (and a
+    # boundary local BA) exist before the timer — every measured chunk is
+    # exactly CHUNK frames, so nothing recompiles in the window
+    for _ in range(2):
+        ct.process_chunk(frames_u8[t:t + CHUNK])
+        t += CHUNK
     ct.sync()
 
     # measurement: chunked loop with upload/compute overlap — stage chunk

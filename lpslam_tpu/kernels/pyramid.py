@@ -54,7 +54,11 @@ def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
 
 
 def _resize(img, shape):
-    return jax.image.resize(img, shape, method="linear")
+    # pixel intensities tolerate bf16 interpolation weights; the package-wide
+    # highest-precision default (geometry safety) is overkill here
+    return jax.image.resize(
+        img, shape, method="linear", precision=jax.lax.Precision.DEFAULT
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_levels", "scale_factor"))
