@@ -31,7 +31,21 @@ class LoopConfig(NamedTuple):
     min_gap: int = 8               # candidate must be this many KFs older
     min_pair_matches: int = 30     # descriptor matches to attempt Sim3
     min_sim3_inliers: int = 15
+    # geometric consensus must also be a real fraction of the descriptor
+    # matches — 15 coincidental inliers out of 300 matches is noise
+    min_inlier_ratio: float = 0.4
     sim3_sigma: float = 0.1        # inlier scale (map units)
+    # the same map region must be re-detected on this many CONSECUTIVE new
+    # keyframes before a closure is attempted (the engine's loop-candidate
+    # consistency check): one-off BoW hits in self-similar scenes are the
+    # dominant false-positive source
+    consistency: int = 3
+    # metric maps (stereo / RGB-D): depth fixes the scale, so the correction
+    # must be rigid — the Sim3 scale is clamped to 1 and a large estimated
+    # scale itself flags a false positive (the engine optimizes its
+    # stereo/RGB-D pose graph with fixed scale)
+    fix_scale: bool = False
+    max_scale_drift: float = 0.12  # |log s| gate when fix_scale
     pose_graph_iters: int = 10
     global_ba_iters: int = 0       # > 0: run full-map BA after the pose graph
 
@@ -52,6 +66,9 @@ class LoopCloser:
         W = vocab.words.shape[0]
         self.db = jnp.zeros((max_keyframes, W), jnp.float32)
         self.n = 0
+        # consecutive-detection history for the consistency gate:
+        # candidate keyframe index per recent try_close (-1 = none)
+        self._recent_cands: list = []
 
     def add_keyframe(self, m: MapStore, k: int):
         v = bow_vector(self.vocab, m.kf_desc[k], m.kf_kp_valid[k])
@@ -85,8 +102,20 @@ class LoopCloser:
 
         cam: PinholeCamera — required only when cfg.global_ba_iters > 0."""
         cand = self.detect(m, k_new)
+        self._recent_cands.append(cand)
+        if len(self._recent_cands) > max(self.cfg.consistency, 1):
+            self._recent_cands.pop(0)
         if cand < 0:
             return m, LoopResult(False, -1, 0, 0)
+
+        # consistency gate: the last `consistency` detections must all hit
+        # the same map region (within a few keyframes of each other)
+        recent = self._recent_cands[-self.cfg.consistency:]
+        consistent = len(recent) >= self.cfg.consistency and all(
+            c >= 0 and abs(c - cand) <= 4 for c in recent
+        )
+        if not consistent:
+            return m, LoopResult(False, cand, 0, 0)
 
         # descriptor matches between the two keyframes
         idx, ok = match_mutual_nn(
@@ -108,9 +137,27 @@ class LoopCloser:
             src, dst, both, sigma=self.cfg.sim3_sigma
         )
         n_inl = int(jnp.sum(inlier))
-        if n_inl < self.cfg.min_sim3_inliers:
+        if n_inl < max(
+            self.cfg.min_sim3_inliers,
+            int(self.cfg.min_inlier_ratio * n_matches),
+        ):
             return m, LoopResult(False, cand, n_matches, n_inl)
 
+        if self.cfg.fix_scale:
+            s = float(S_corr.s)
+            if abs(np.log(max(s, 1e-9))) > self.cfg.max_scale_drift:
+                # a metric map cannot have drifted scale: the "loop" is bogus
+                return m, LoopResult(False, cand, n_matches, n_inl)
+            # rigid (scale-1) re-fit over the inliers: t = mean(dst) - R mean(src)
+            wsel = inlier.astype(jnp.float32)[:, None]
+            nw = jnp.maximum(jnp.sum(wsel), 1.0)
+            mu_s = jnp.sum(src * wsel, 0) / nw
+            mu_d = jnp.sum(dst * wsel, 0) / nw
+            S_corr = Sim3(
+                S_corr.R, mu_d - S_corr.R @ mu_s, jnp.float32(1.0)
+            )
+
+        self._recent_cands.clear()  # accepted: restart the consistency run
         m = self._correct(m, k_new, cand, S_corr)
         if self.cfg.global_ba_iters > 0 and cam is not None:
             from ..backend.ba import global_ba

@@ -291,7 +291,9 @@ class VSLAMTracker(TrackerBase):
                     from ..loop import load_vocabulary, LoopCloser
 
                     vocab = load_vocabulary(path)
-                    self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
+                    self.loop_closer = LoopCloser(
+                        vocab, self.cfg["max_keyframes"], cfg=self._loop_cfg()
+                    )
             self._maybe_close_loop()
         elif not self.engine.mapping_in_flight:
             # no slot-keyed side tables to fix — discard events (non-blocking)
@@ -341,6 +343,14 @@ class VSLAMTracker(TrackerBase):
                 np.sum(kf_order[:n_kf_after] < self._loop_pending_kfs)
             )
 
+    def _loop_cfg(self):
+        """LoopConfig for this tracker mode: metric maps (stereo / RGB-D) run
+        with fixed Sim3 scale, matching the engine's fixed-scale pose graph
+        for depth-bearing sensors."""
+        from ..loop.detector import LoopConfig
+
+        return LoopConfig(fix_scale=self.cfg["mode"] != "mono")
+
     def _maybe_close_loop(self):
         import jax.numpy as jnp
 
@@ -367,7 +377,9 @@ class VSLAMTracker(TrackerBase):
             valid = np.asarray(m.kf_kp_valid[:nk]).reshape(-1)
             train = desc[valid][:4096]
             vocab = train_vocabulary(train, n_words=min(512, max(64, len(train) // 8)))
-            self.loop_closer = LoopCloser(vocab, self.cfg["max_keyframes"])
+            self.loop_closer = LoopCloser(
+                vocab, self.cfg["max_keyframes"], cfg=self._loop_cfg()
+            )
             for k in range(nk):
                 self.loop_closer.add_keyframe(m, k)
             self._loop_pending_kfs = nk

@@ -38,8 +38,12 @@ def test_loop_detection_on_closed_orbit():
             desc = np.asarray(m.kf_desc[:nk]).reshape(-1, 8)
             valid = np.asarray(m.kf_kp_valid[:nk]).reshape(-1)
             vocab = train_vocabulary(desc[valid][:4096], n_words=256, iters=5)
+            # consistency=1: this 50-frame toy orbit has only ~1 keyframe in
+            # revisited territory — the multi-keyframe consistency gate is
+            # exercised separately (test_loop.py::test_consistency_gate)
             closer = LoopCloser(vocab, cfg.map_cfg.max_keyframes,
-                                LoopConfig(min_gap=6, min_score=0.12))
+                                LoopConfig(min_gap=6, min_score=0.12,
+                                           consistency=1))
             for k in range(nk):
                 closer.add_keyframe(m, k)
             added = nk
