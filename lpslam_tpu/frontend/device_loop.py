@@ -76,15 +76,27 @@ def _where_se3(c, a: SE3, b: SE3) -> SE3:
 
 
 def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
-                    mapping_enabled: bool = True, rectify_map=None):
-    """Build the jitted (carry, (B,H,W) frames) -> (carry, FrameOut) program.
+                    mapping_enabled: bool = True, rectify_map=None,
+                    mode: str = "mono", focal_x_baseline: float = 0.0,
+                    y_margin: float = 2.0, max_depth: float = 12.0,
+                    min_depth: float = 0.1):
+    """Build the jitted (carry, frames) -> (carry, FrameOut) program.
 
-    rectify_map: optional (H, W, 2) device remap coordinates — undistortion
-    then runs on-device over the WHOLE chunk as one batched remap before the
-    scan (the gather amortizes over the batch dim: 0.5 ms/frame batched vs
-    11 ms/frame single on a v5e), so the host uploads raw uint8 pixels (4x
-    less transfer than rectified float32) and the in-path undistort rides
-    the same dispatch (ImageProcessing.h:130-256 role).
+    frames per mode:
+      mono   — (B, H, W)
+      stereo — (B, 2, H, W) rectified eye pairs; keyframes seed landmarks
+               from row-matched + subpixel-refined disparity, far points get
+               the mono two-view triangulation pass (StereoTracker parity)
+      rgbd   — ((B, H, W) gray, (B, H, W) depth); keyframes seed landmarks
+               from bilinear subpixel depth (RGBDTracker parity)
+
+    rectify_map: optional (H, W, 2) device remap coordinates (stereo: (2, H,
+    W, 2), one per eye) — undistortion then runs on-device over the WHOLE
+    chunk as one batched remap before the scan (the gather amortizes over
+    the batch dim: 0.5 ms/frame batched vs 11 ms/frame single on a v5e), so
+    the host uploads raw uint8 pixels (4x less transfer than rectified
+    float32) and the in-path undistort rides the same dispatch
+    (ImageProcessing.h:130-256 role).
     """
 
     K = cfg.map_cfg.max_keyframes
@@ -92,7 +104,57 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
     N = cfg.map_cfg.num_keypoints
     rmap = None if rectify_map is None else jnp.asarray(rectify_map, jnp.float32)
 
-    def step(carry: ChunkCarry, img):
+    def _depth_for_keyframe(x, feats):
+        """Per-keyframe depth per left keypoint: (z, ok)."""
+        from ..kernels.stereo import (
+            match_stereo, depth_from_disparity, refine_disparity_subpixel,
+        )
+
+        if mode == "stereo":
+            left, right = x[0], x[1]
+            rfeats = extract_orb(right, cfg.orb)
+            disp, idx_r, ok = match_stereo(
+                feats.desc, feats.xy, feats.valid,
+                rfeats.desc, rfeats.xy, rfeats.valid, y_margin=y_margin,
+            )
+            disp = refine_disparity_subpixel(
+                left, right, feats.xy, rfeats.xy[idx_r], ok
+            )
+            z = depth_from_disparity(disp, focal_x_baseline)
+            ok = ok & (disp > 0.5) & (z > 0.0) & (z < max_depth)
+            return z, ok
+        # rgbd: bilinear subpixel depth with discontinuity gate
+        # (StereoTracker parity — see frontend/stereo.py::RGBDTracker._depths)
+        d = x[1]
+        h, w = d.shape
+        xq = jnp.clip(feats.xy[:, 0], 0.0, w - 1.001)
+        yq = jnp.clip(feats.xy[:, 1], 0.0, h - 1.001)
+        x0 = xq.astype(jnp.int32)
+        y0 = yq.astype(jnp.int32)
+        fx, fy = xq - x0, yq - y0
+        flat = d.reshape(-1)
+        i00 = y0 * w + x0
+        v00, v01 = flat[i00], flat[i00 + 1]
+        v10, v11 = flat[i00 + w], flat[i00 + w + 1]
+        z = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+             + v10 * (1 - fx) * fy + v11 * fx * fy)
+        vmin = jnp.minimum(jnp.minimum(v00, v01), jnp.minimum(v10, v11))
+        vmax = jnp.maximum(jnp.maximum(v00, v01), jnp.maximum(v10, v11))
+        ok = (
+            feats.valid
+            & ((vmax - vmin) < 0.05 * jnp.maximum(z, 1e-6))
+            & (vmin > min_depth)
+            & (z < max_depth)
+        )
+        return z, ok
+
+    def step(carry: ChunkCarry, x):
+        if mode == "mono":
+            img = x
+        elif mode == "stereo":
+            img = x[0]
+        else:  # rgbd: x = (gray, depth)
+            img = x[0]
         feats = extract_orb(img, cfg.orb)
         if mask is not None:
             feats = _apply_mask(feats, mask)
@@ -134,14 +196,26 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
             & (tr.map.n_lm < M - N)
         )
 
-        m2 = jax.lax.cond(
-            kf,
-            lambda m: insert_keyframe(
-                m, new_pose, cam, feats, tr.kp_lm_idx, carry.frame_id, cfg
-            ),
-            lambda m: m,
-            tr.map,
-        )
+        if mode == "mono":
+            def _insert(m):
+                return insert_keyframe(
+                    m, new_pose, cam, feats, tr.kp_lm_idx, carry.frame_id, cfg
+                )
+        else:
+            def _insert(m):
+                from .stereo import insert_keyframe_depth
+                from .tracker import triangulate_new_landmarks
+
+                z, dok = _depth_for_keyframe(x, feats)
+                m2_ = insert_keyframe_depth(
+                    m, new_pose, cam, feats, tr.kp_lm_idx, z, dok,
+                    carry.frame_id,
+                )
+                # far points beyond the depth gate: two-view triangulation
+                # against the previous keyframe (StereoTracker parity)
+                return triangulate_new_landmarks(m2_, cam, cfg)
+
+        m2 = jax.lax.cond(kf, _insert, lambda m: m, tr.map)
 
         out = FrameOut(
             status=status.astype(jnp.int32),
@@ -167,12 +241,27 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
 
     @jax.jit
     def scan_chunk(carry: ChunkCarry, frames):
-        frames = frames.astype(jnp.float32)
-        if rmap is not None:
-            from ..kernels.remap import remap_bilinear
+        from ..kernels.remap import remap_bilinear
 
-            frames = remap_bilinear(frames, rmap)
-        return jax.lax.scan(step, carry, frames)
+        if mode == "mono":
+            xs = frames.astype(jnp.float32)
+            if rmap is not None:
+                xs = remap_bilinear(xs, rmap)
+        elif mode == "stereo":
+            f = frames.astype(jnp.float32)      # (B, 2, H, W)
+            left, right = f[:, 0], f[:, 1]
+            if rmap is not None:
+                left = remap_bilinear(left, rmap[0])
+                right = remap_bilinear(right, rmap[1])
+            xs = jnp.stack([left, right], axis=1)
+        else:  # rgbd: (gray, depth) tuple
+            gray = frames[0].astype(jnp.float32)
+            depth = frames[1].astype(jnp.float32)
+            if rmap is not None:
+                gray = remap_bilinear(gray, rmap)
+                depth = remap_bilinear(depth, rmap)
+            xs = jnp.stack([gray, depth], axis=1)  # (B, 2, H, W)
+        return jax.lax.scan(step, carry, xs)
 
     return scan_chunk
 
@@ -211,11 +300,26 @@ class ChunkedTracker:
 
     def __init__(self, engine: MonoTracker, local_ba_every_chunk: bool = True,
                  rectify_map=None):
+        from .stereo import StereoTracker, RGBDTracker
+
         self.engine = engine
         self.local_ba_every_chunk = local_ba_every_chunk
+        if isinstance(engine, RGBDTracker):
+            mode, extra = "rgbd", dict(
+                max_depth=engine.max_depth, min_depth=engine.min_depth
+            )
+        elif isinstance(engine, StereoTracker):
+            mode, extra = "stereo", dict(
+                focal_x_baseline=engine.focal_x_baseline,
+                y_margin=engine.y_margin, max_depth=engine.max_depth,
+            )
+        else:
+            mode, extra = "mono", {}
+        self.mode = mode
         self._scan = make_chunk_step(
             engine.cam, engine.cfg, mask=engine.mask,
             mapping_enabled=engine.mapping_enabled, rectify_map=rectify_map,
+            mode=mode, **extra,
         )
         self._outs: list = []  # FrameOut per chunk (device-resident)
         self._chunk_kf_flags: list = []
@@ -242,27 +346,32 @@ class ChunkedTracker:
     def prefetch(self, frames):
         """Stage a chunk on device ahead of time (e.g. from an IO thread,
         overlapping the upload with the previous chunk's compute). Returns a
-        handle accepted by process_chunk."""
+        handle accepted by process_chunk. rgbd passes (gray, depth)."""
+        if isinstance(frames, tuple):
+            return tuple(jnp.asarray(f) for f in frames)
         return jnp.asarray(frames)
 
     def process_chunk(self, frames) -> None:
-        """Advance tracking over (B, H, W) frames in one device dispatch.
+        """Advance tracking over one chunk in one device dispatch.
 
         frames: host uint8/float array (uploaded here) or a prefetch()
-        handle already staged on device.
+        handle already staged on device. Shapes: (B, H, W) mono,
+        (B, 2, H, W) stereo eye pairs, ((B, H, W) gray, (B, H, W) depth)
+        for rgbd.
         """
         assert self.ready, "initialize via the host path first"
         e = self.engine
         start_frame = e.frame_id
         carry = self._carry()
-        frames = jnp.asarray(frames)
+        frames = self.prefetch(frames)
+        n_frames = (frames[0] if isinstance(frames, tuple) else frames).shape[0]
         carry, out = self._scan(carry, frames)
 
         # adopt final carry (all dispatch-only: no values fetched)
         e.map = carry.m
         e.pose = SE3(carry.pose_R, carry.pose_t)
         e.velocity = SE3(carry.vel_R, carry.vel_t)
-        e.frame_id = int(frames.shape[0]) + start_frame
+        e.frame_id = int(n_frames) + start_frame
         self._outs.append(out)
         self._chunk_kf_flags.append(out.kf_inserted)
 

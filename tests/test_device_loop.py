@@ -94,3 +94,59 @@ def test_collect_empty():
     ct = ChunkedTracker(MonoTracker(cam, cfg))
     sts, n_inl, pR, pt, kf = ct.collect()
     assert sts.shape == (0,) and pR.shape == (0, 3, 3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["stereo", "rgbd"])
+def test_chunked_depth_modes(mode):
+    """Stereo / RGB-D chunk scans: depth-seeded keyframes under lax.cond
+    (insert_keyframe_depth + far-point triangulation), metric-scale ATE."""
+    from lpslam_tpu.frontend.stereo import StereoTracker, RGBDTracker
+
+    baseline = 0.1
+    seq = make_sequence(
+        num_frames=28, h=240, w=320, seed=2, motion="orbit", fx=230.0,
+        stereo_baseline=baseline if mode == "stereo" else 0.0,
+        with_depth=mode == "rgbd",
+    )
+    cam, cfg = _setup(seq)
+    if mode == "stereo":
+        eng = StereoTracker(cam, focal_x_baseline=230.0 * baseline, cfg=cfg,
+                            depth_threshold=60.0)
+        aux = lambda t: seq.images_r[t]
+        chunk = lambda a, b: np.stack(
+            [np.stack([seq.images[t], seq.images_r[t]]) for t in range(a, b)]
+        )
+    else:
+        eng = RGBDTracker(cam, cfg=cfg, max_depth=20.0)
+        aux = lambda t: seq.depths[t]
+        chunk = lambda a, b: (
+            np.stack(seq.images[a:b]), np.stack(seq.depths[a:b])
+        )
+
+    t = 0
+    while eng.status != TrackerStatus.TRACKING and t < 6:
+        eng.process(seq.images[t], aux=aux(t))
+        t += 1
+    assert eng.status == TrackerStatus.TRACKING
+
+    ct = ChunkedTracker(eng)
+    assert ct.mode == mode
+    t0 = t
+    while t + 8 <= len(seq.images):
+        ct.process_chunk(chunk(t, t + 8))
+        t += 8
+    ct.sync()
+    sts, n_inl, pR, pt, kf_ins = ct.collect()
+    assert (sts == int(TrackerStatus.TRACKING)).mean() > 0.9
+    assert kf_ins.sum() >= 2
+
+    est, gt = [], []
+    for i in range(len(sts)):
+        if sts[i] != int(TrackerStatus.TRACKING):
+            continue
+        est.append(-pR[i].T @ pt[i])
+        gt.append(np.asarray(seq.poses_wc[t0 + i].t))
+    # metric modes: NO scale alignment — depth must anchor true scale
+    rmse, _ = ate_rmse(np.asarray(est), np.asarray(gt), with_scale=False)
+    assert rmse < 0.12, rmse
