@@ -143,7 +143,7 @@ def fast_nms_score_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile, w), lambda i, hw: (i, 0), memory_space=pltpu.VMEM
         ),
