@@ -111,6 +111,9 @@ class VSLAMTracker(TrackerBase):
         .optional("relocalize_with_nav_data", bool, False)
         .optional("time_to_relocalize", float, 3.0)
         .optional("loop_closure", bool, False)
+        # > 0: run full-map bundle adjustment after an accepted loop's
+        # pose-graph correction (BASELINE config 4: loop + global BA)
+        .optional("loop_global_ba_iters", int, 0)
         .optional("mapping", bool, True)
         .optional("map_file", str, "")
         .optional("vocab_file", str, "")  # pre-trained vocabulary (orb_vocab parity)
@@ -349,7 +352,10 @@ class VSLAMTracker(TrackerBase):
         for depth-bearing sensors."""
         from ..loop.detector import LoopConfig
 
-        return LoopConfig(fix_scale=self.cfg["mode"] != "mono")
+        return LoopConfig(
+            fix_scale=self.cfg["mode"] != "mono",
+            global_ba_iters=int(self.cfg["loop_global_ba_iters"]),
+        )
 
     def _maybe_close_loop(self):
         import jax.numpy as jnp
