@@ -32,7 +32,8 @@ from .queues import (
 )
 from .record import RecordEngine, ReplayEngine, _encode_jpeg
 from .sources import (ImageSourceBase, FileImageSource, SyntheticSource,
-                      OpenCVCameraSource, ReplaySource, ZedOpenCaptureSource)
+                      OpenCVCameraSource, ReplaySource, ZedOpenCaptureSource,
+                      ZedSdkSource)
 from .processors import (
     ProcessorBase,
     BlackoutImageProcessor,
@@ -66,8 +67,8 @@ SOURCE_REGISTRY = {
     "Synthetic": SyntheticSource,
     "Webots": SyntheticSource,            # simulation alias
     "Zed": ZedOpenCaptureSource,          # reference datasource name
-    "ZedSdk": ZedOpenCaptureSource,       # same UVC endpoint, auto_gain covers
-                                          # the SDK source's intensity servo
+    "ZedSdk": ZedSdkSource,               # StereoLabs SDK path (pyzed-gated;
+                                          # raises pointing at "Zed" without it)
     "Replay": ReplaySource,
 }
 

@@ -407,6 +407,119 @@ class ZedOpenCaptureSource(ImageSourceBase):
             self._cap = None
 
 
+class ZedSdkSource(ImageSourceBase):
+    """ZED stereo camera via the StereoLabs SDK (`pyzed.sl`), when installed.
+
+    The reference's ZedSdkSource (/root/reference/src/Sources/ZedSdkSource.cpp)
+    is the proprietary-SDK capture path next to the UVC one; this class
+    reproduces its observable behavior on the SDK's Python bindings:
+
+    - open HD720 @ 15 fps by default, depth disabled, non-verbose
+      (ZedSdkSource.cpp:100-110); initial manual EXPOSURE 15 / GAIN 50
+      (:117-118)
+    - grab() then retrieve LEFT/RIGHT **unrectified gray** views; any
+      failure sleeps 50 ms and keeps the worker alive (:12-31)
+    - every 5th frame, servo the gain from the left-eye mean intensity:
+      gain = 30 + (1 - mean/255) * 60 (:56-64)
+    - the camera's own IMAGE-time hardware timestamp (nanoseconds) is
+      attached as the ROS timestamp on each entry (:86-91)
+    - 12 cm eye baseline (:66-73) is carried by the stereo entry's
+      left/right split downstream
+
+    The SDK needs CUDA-class hardware; in this TPU framework the class is
+    import-gated — constructing it without `pyzed` raises with a pointer at
+    the UVC path (ZedOpenCaptureSource), which needs no SDK. Tests inject a
+    fake `pyzed.sl` module (no camera hardware, same technique as the
+    reference's tests which build real objects without start()).
+    """
+
+    schema = (
+        ConfigOptions()
+        .optional("fps", int, 15)
+        .optional("resolution", str, "HD720")  # VGA|HD720|HD1080|HD2K
+        .optional("exposure", int, 15)
+        .optional("gain", int, 50)
+        .optional("auto_gain", bool, True)
+        .optional("verbose", bool, False)
+    )
+
+    def __init__(self, config: Optional[dict] = None):
+        super().__init__(config)
+        try:
+            from pyzed import sl  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "ZedSdkSource needs the StereoLabs SDK python bindings "
+                "(pyzed); without the SDK use the 'Zed' datasource "
+                "(ZedOpenCaptureSource), which reads the same camera over "
+                "plain UVC/V4L2"
+            ) from e
+        self._sl = sl
+        self._cam = None
+        self._frame_number = 0
+
+    def start(self, camera_queue: BoundedQueue):
+        sl = self._sl
+        self._cam = sl.Camera()
+        init = sl.InitParameters()
+        init.camera_resolution = getattr(
+            sl.RESOLUTION, self.cfg["resolution"].upper()
+        )
+        init.depth_mode = sl.DEPTH_MODE.NONE
+        init.sdk_verbose = self.cfg["verbose"]
+        init.camera_fps = self.cfg["fps"]
+        status = self._cam.open(init)
+        if status != sl.ERROR_CODE.SUCCESS:
+            self._cam = None
+            raise RuntimeError(f"cannot open ZED camera via SDK: {status}")
+        self._cam.set_camera_settings(
+            sl.VIDEO_SETTINGS.EXPOSURE, self.cfg["exposure"]
+        )
+        self._cam.set_camera_settings(sl.VIDEO_SETTINGS.GAIN, self.cfg["gain"])
+        super().start(camera_queue)
+
+    def _loop(self, thread: ManagedThread):
+        sl = self._sl
+        if self._cam.grab() != sl.ERROR_CODE.SUCCESS:
+            time.sleep(0.05)  # maybe just one failed frame; keep receiving
+            return
+        left, right = sl.Mat(), sl.Mat()
+        if (
+            self._cam.retrieve_image(left, sl.VIEW.LEFT_UNRECTIFIED_GRAY)
+            != sl.ERROR_CODE.SUCCESS
+            or self._cam.retrieve_image(right, sl.VIEW.RIGHT_UNRECTIFIED_GRAY)
+            != sl.ERROR_CODE.SUCCESS
+        ):
+            time.sleep(0.05)
+            return
+        img_l = np.asarray(left.get_data(), np.float32)
+        img_r = np.asarray(right.get_data(), np.float32)
+        self._frame_number += 1
+
+        if self.cfg["auto_gain"] and self._frame_number % 5 == 0:
+            vf = float(img_l.mean()) / 255.0
+            gain = 30.0 + (1.0 - vf) * 60.0
+            self._cam.set_camera_settings(sl.VIDEO_SETTINGS.GAIN, round(gain))
+
+        ts_ns = int(
+            self._cam.get_timestamp(sl.TIME_REFERENCE.IMAGE).get_nanoseconds()
+        )
+        self.camera_queue.push(
+            CameraQueueEntry(
+                timestamp=time.time(),
+                image=img_l,
+                image_second=img_r,
+                ros_timestamp=ts_ns,
+            )
+        )
+
+    def stop(self):
+        super().stop()
+        if self._cam is not None:
+            self._cam.close()
+            self._cam = None
+
+
 class ReplaySource(ImageSourceBase):
     """Wrapper source that streams a recorded .pb file (see record.ReplayEngine)."""
 

@@ -122,7 +122,150 @@ def test_auto_gain_servo(zed):
 
 def test_registry_names():
     from lpslam_tpu.pipeline.manager import SOURCE_REGISTRY
+    from lpslam_tpu.pipeline.sources import ZedSdkSource
 
     assert SOURCE_REGISTRY["Zed"] is ZedOpenCaptureSource
-    assert SOURCE_REGISTRY["ZedSdk"] is ZedOpenCaptureSource
+    assert SOURCE_REGISTRY["ZedSdk"] is ZedSdkSource
     assert SOURCE_REGISTRY["FileSource"] is SOURCE_REGISTRY["File"]
+
+
+# --- ZedSdkSource (pyzed-gated SDK path, ZedSdkSource.cpp parity) ----------
+
+
+class _FakeSl:
+    """Minimal pyzed.sl stand-in: enough surface for open/grab/retrieve."""
+
+    class ERROR_CODE:
+        SUCCESS = 0
+        FAILURE = 1
+
+    class RESOLUTION:
+        VGA, HD720, HD1080, HD2K = range(4)
+
+    class DEPTH_MODE:
+        NONE = 0
+
+    class VIEW:
+        LEFT_UNRECTIFIED_GRAY = 0
+        RIGHT_UNRECTIFIED_GRAY = 1
+
+    class VIDEO_SETTINGS:
+        EXPOSURE = 0
+        GAIN = 1
+
+    class TIME_REFERENCE:
+        IMAGE = 0
+
+    class InitParameters:
+        pass
+
+    class Mat:
+        def __init__(self):
+            self._data = None
+
+        def get_data(self):
+            return self._data
+
+    class _Ts:
+        def get_nanoseconds(self):
+            return 123456789
+
+    class Camera:
+        def __init__(self):
+            self.settings = {}
+            self.opened = False
+            self.closed = False
+            self.grabs = 0
+            self.fail_first_grab = False
+
+        def open(self, init):
+            self.init = init
+            self.opened = True
+            return _FakeSl.ERROR_CODE.SUCCESS
+
+        def set_camera_settings(self, key, val):
+            self.settings[key] = val
+
+        def grab(self):
+            self.grabs += 1
+            if self.fail_first_grab and self.grabs == 1:
+                return _FakeSl.ERROR_CODE.FAILURE
+            return _FakeSl.ERROR_CODE.SUCCESS
+
+        def retrieve_image(self, mat, view):
+            # left eye dark (drives the gain servo), right bright
+            lum = 60 if view == _FakeSl.VIEW.LEFT_UNRECTIFIED_GRAY else 200
+            mat._data = np.full((24, 32), lum, np.uint8)
+            return _FakeSl.ERROR_CODE.SUCCESS
+
+        def get_timestamp(self, ref):
+            return _FakeSl._Ts()
+
+        def close(self):
+            self.closed = True
+
+
+@pytest.fixture
+def fake_pyzed(monkeypatch):
+    import sys
+    import types
+
+    pkg = types.ModuleType("pyzed")
+    pkg.sl = _FakeSl
+    monkeypatch.setitem(sys.modules, "pyzed", pkg)
+    monkeypatch.setitem(sys.modules, "pyzed.sl", _FakeSl)
+    return _FakeSl
+
+
+def test_sdk_source_gated_without_pyzed():
+    from lpslam_tpu.pipeline.sources import ZedSdkSource
+
+    import sys
+    if "pyzed" in sys.modules:
+        pytest.skip("real pyzed present")
+    with pytest.raises(RuntimeError, match="ZedOpenCaptureSource"):
+        ZedSdkSource()
+
+
+def test_sdk_source_frames_gain_and_hw_timestamp(fake_pyzed):
+    from lpslam_tpu.pipeline.sources import ZedSdkSource
+
+    src = ZedSdkSource({"fps": 30, "exposure": 15, "gain": 50})
+    q = BoundedQueue(16)
+    src.camera_queue = q
+    sl = fake_pyzed
+    src._cam = sl.Camera()
+    src._cam.open(sl.InitParameters())
+    # reference sets manual exposure 15 / gain 50 on open
+    # (ZedSdkSource.cpp:117-118) — here start() does it; emulate:
+    src._cam.set_camera_settings(sl.VIDEO_SETTINGS.EXPOSURE, 15)
+    src._cam.set_camera_settings(sl.VIDEO_SETTINGS.GAIN, 50)
+
+    for _ in range(5):
+        src._loop(FakeThread())
+    entries = _drain(q)
+    assert len(entries) == 5
+    e = entries[0]
+    assert e.image.shape == (24, 32) and e.image_second.shape == (24, 32)
+    assert e.image.mean() < 100 < e.image_second.mean()
+    # hardware IMAGE timestamp carried as ros_timestamp (ns)
+    assert e.ros_timestamp == 123456789
+    # 5th frame servoed the gain: mean 60 -> 30 + (1 - 60/255)*60 ~ 76
+    gain = src._cam.settings[sl.VIDEO_SETTINGS.GAIN]
+    assert 70 <= gain <= 80
+
+    src.stop()
+    assert src._cam is None
+
+
+def test_sdk_source_survives_failed_grab(fake_pyzed):
+    from lpslam_tpu.pipeline.sources import ZedSdkSource
+
+    src = ZedSdkSource({})
+    q = BoundedQueue(4)
+    src.camera_queue = q
+    src._cam = fake_pyzed.Camera()
+    src._cam.fail_first_grab = True
+    src._loop(FakeThread())   # failed grab: sleep-and-continue, no entry
+    src._loop(FakeThread())   # next one succeeds
+    assert len(_drain(q)) == 1
