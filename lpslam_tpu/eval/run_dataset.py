@@ -85,6 +85,11 @@ def main(argv=None):
     p.add_argument("--max-keyframes", type=int, default=128)
     p.add_argument("--max-landmarks", type=int, default=24576)
     p.add_argument("--loop", action="store_true", help="enable loop closure")
+    p.add_argument("--global-ba", type=int, default=5, dest="global_ba",
+                   help="LM iterations of full-map BA after an accepted loop"
+                        " (BASELINE config 4: loop closure + global BA +"
+                        " Sim3 pose graph); 0 disables, only active with"
+                        " --loop")
     p.add_argument("--vocab", default="", help="vocabulary file (else lazy-trained)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=640)
@@ -139,6 +144,7 @@ def main(argv=None):
         "max_landmarks": args.max_landmarks,
         "focal_x_baseline": fxb if args.mode == "stereo" else 0.0,
         "loop_closure": bool(args.loop),
+        "loop_global_ba_iters": args.global_ba if args.loop else 0,
         "vocab_file": args.vocab,
     })
 
@@ -173,6 +179,7 @@ def main(argv=None):
     result = {
         "mode": args.mode,
         "loop_closure": bool(args.loop),
+        "global_ba_iters": args.global_ba if args.loop else 0,
         "keypoints": args.keypoints,
         "frames": n,
         "tracked": len(est),

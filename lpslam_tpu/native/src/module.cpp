@@ -91,36 +91,42 @@ PyObject* queue_push(PyObject* selfo, PyObject* args, PyObject* kwds) {
   PyObject* dropped = nullptr;
   bool pushed = false;
   {
-    // release the GIL while waiting for space
+    // release the GIL while waiting for space. The mutex scope must CLOSE
+    // before the GIL is reacquired (Py_END_ALLOW_THREADS): holding mu while
+    // waiting for the GIL deadlocks against a GIL-holding thread blocked on
+    // mu in qsize() (lock-order inversion, found as a wedged RecordEngine
+    // drain in the test suite).
     Py_BEGIN_ALLOW_THREADS;
-    std::unique_lock<std::mutex> lk(*self->mu);
-    auto has_space = [&] {
-      return self->closed ||
-             static_cast<Py_ssize_t>(self->items->size()) < self->maxsize;
-    };
-    if (!has_space()) {
-      if (drop_oldest) {
-        // handled below with the GIL held (needs DECREF)
-      } else if (timeout < 0) {
-        self->not_full->wait(lk, has_space);
-      } else {
-        self->not_full->wait_for(
-            lk, std::chrono::duration<double>(timeout), has_space);
+    {
+      std::unique_lock<std::mutex> lk(*self->mu);
+      auto has_space = [&] {
+        return self->closed ||
+               static_cast<Py_ssize_t>(self->items->size()) < self->maxsize;
+      };
+      if (!has_space()) {
+        if (drop_oldest) {
+          // handled below; DECREF of the dropped item happens with the GIL
+        } else if (timeout < 0) {
+          self->not_full->wait(lk, has_space);
+        } else {
+          self->not_full->wait_for(
+              lk, std::chrono::duration<double>(timeout), has_space);
+        }
       }
-    }
-    if (!self->closed &&
-        static_cast<Py_ssize_t>(self->items->size()) < self->maxsize) {
-      self->items->push_back(item);
-      pushed = true;
-      self->not_empty->notify_one();
-    } else if (drop_oldest && !self->closed) {
-      if (!self->items->empty()) {
-        dropped = self->items->front();
-        self->items->pop_front();
+      if (!self->closed &&
+          static_cast<Py_ssize_t>(self->items->size()) < self->maxsize) {
+        self->items->push_back(item);
+        pushed = true;
+        self->not_empty->notify_one();
+      } else if (drop_oldest && !self->closed) {
+        if (!self->items->empty()) {
+          dropped = self->items->front();
+          self->items->pop_front();
+        }
+        self->items->push_back(item);
+        pushed = true;
+        self->not_empty->notify_one();
       }
-      self->items->push_back(item);
-      pushed = true;
-      self->not_empty->notify_one();
     }
     Py_END_ALLOW_THREADS;
   }
@@ -138,20 +144,23 @@ PyObject* queue_pop(PyObject* selfo, PyObject* args, PyObject* kwds) {
     return nullptr;
   PyObject* item = nullptr;
   {
+    // mutex scope closes before the GIL is reacquired — see queue_push
     Py_BEGIN_ALLOW_THREADS;
-    std::unique_lock<std::mutex> lk(*self->mu);
-    auto has_item = [&] { return self->closed || !self->items->empty(); };
-    if (!has_item()) {
-      if (timeout < 0)
-        self->not_empty->wait(lk, has_item);
-      else
-        self->not_empty->wait_for(
-            lk, std::chrono::duration<double>(timeout), has_item);
-    }
-    if (!self->items->empty()) {
-      item = self->items->front();
-      self->items->pop_front();
-      self->not_full->notify_one();
+    {
+      std::unique_lock<std::mutex> lk(*self->mu);
+      auto has_item = [&] { return self->closed || !self->items->empty(); };
+      if (!has_item()) {
+        if (timeout < 0)
+          self->not_empty->wait(lk, has_item);
+        else
+          self->not_empty->wait_for(
+              lk, std::chrono::duration<double>(timeout), has_item);
+      }
+      if (!self->items->empty()) {
+        item = self->items->front();
+        self->items->pop_front();
+        self->not_full->notify_one();
+      }
     }
     Py_END_ALLOW_THREADS;
   }

@@ -53,6 +53,45 @@ class TestBoundedQueue:
         t.join(timeout=5)
         assert received == list(range(100))
 
+    def test_qsize_poll_vs_blocking_pop_no_deadlock(self, native):
+        """Regression: a GIL-holding qsize() poll concurrent with a
+        GIL-releasing pop() must not deadlock. The original queue kept the
+        mutex locked across GIL reacquisition (unique_lock destructing after
+        Py_END_ALLOW_THREADS), so a popping thread holding the mutex while
+        waiting for the GIL deadlocked against a qsize() caller holding the
+        GIL while waiting for the mutex — exactly RecordEngine.stop()'s
+        drain loop (`while not q.empty()`) against its record worker."""
+        q = native.BoundedQueue(maxsize=64)
+        done = threading.Event()
+
+        def consumer():
+            while not done.is_set():
+                q.pop(timeout=0.05)
+
+        def producer():
+            i = 0
+            while not done.is_set():
+                q.push(i, timeout=0.0, drop_oldest=True)
+                i += 1
+
+        threads = [threading.Thread(target=consumer, daemon=True),
+                   threading.Thread(target=producer, daemon=True)]
+        for t in threads:
+            t.start()
+        # hammer qsize from the main thread (the GIL-held mutex acquisition)
+        deadline = time.monotonic() + 2.0
+        polls = 0
+        while time.monotonic() < deadline:
+            q.qsize()
+            polls += 1
+        done.set()
+        for t in threads:
+            t.join(timeout=5)
+        assert not any(t.is_alive() for t in threads), (
+            f"queue deadlocked after {polls} qsize polls"
+        )
+        assert polls > 1000  # the poller itself must not have stalled
+
     def test_close_unblocks(self, native):
         q = native.BoundedQueue(maxsize=2)
         out = []
