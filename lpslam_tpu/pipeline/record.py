@@ -123,8 +123,11 @@ class RecordEngine:
 
     def stop(self):
         if self._worker is not None:
-            # drain before stopping
-            while not self._queue.empty():
+            # drain before stopping, with a deadline so a dead/stalled worker
+            # cannot wedge shutdown (messages still queued past the deadline
+            # are dropped, which the async reference recorder also permits)
+            deadline = time.monotonic() + 5.0
+            while not self._queue.empty() and time.monotonic() < deadline:
                 time.sleep(0.01)
             self._worker.stop()
             self._worker = None
