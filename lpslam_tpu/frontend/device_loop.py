@@ -266,21 +266,59 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
     return scan_chunk
 
 
-@functools.partial(jax.jit, static_argnames=("window", "iters", "covisibility"))
-def _chunk_local_ba(m: MapStore, cam: PinholeCamera, any_kf, window: int,
-                    iters: int, covisibility: bool) -> MapStore:
-    """Windowed local BA under lax.cond: chunks that inserted no keyframe pay
-    nothing at runtime."""
+@functools.partial(jax.jit, static_argnames=(
+    "window", "iters", "covisibility", "max_cull", "keep_latest",
+    "redundancy", "min_other_obs",
+))
+def _chunk_boundary(m: MapStore, cam: PinholeCamera, any_kf, do_compact,
+                    window: int, iters: int, covisibility: bool,
+                    max_cull: int, keep_latest: int, redundancy: float,
+                    min_other_obs: int):
+    """Chunk-boundary mapping maintenance, one dispatch: windowed local BA
+    then multi-pass keyframe cull + compaction (the engine's continuous
+    mapping-thread duties, OpenVSLAMTrackerBase.cpp:238-255, executed at
+    chunk boundaries). Both run under lax.cond so chunks that inserted no
+    keyframe pay nothing; `do_compact` (device bool) additionally gates the
+    cull so the host can hold the store quiescent (e.g. while an async loop
+    closure snapshot is in flight). Returns a CompactResult — identity
+    permutations when nothing ran."""
     from ..backend.ba import local_ba
+    from ..mapstore.store import cull_and_compact, CompactResult
 
-    return jax.lax.cond(
-        any_kf,
-        lambda mm: local_ba(
-            mm, cam, window=window, iters=iters, covisibility=covisibility
-        )[0],
-        lambda mm: mm,
-        m,
-    )
+    K = m.kf_valid.shape[0]
+    M = m.lm_valid.shape[0]
+
+    def ident(mm: MapStore) -> CompactResult:
+        return CompactResult(
+            mm,
+            jnp.arange(K, dtype=jnp.int32),
+            jnp.arange(M, dtype=jnp.int32),
+            jnp.int32(0),
+        )
+
+    def run(mm: MapStore) -> CompactResult:
+        if window > 0:
+            mm = local_ba(
+                mm, cam, window=window, iters=iters, covisibility=covisibility
+            )[0]
+        if max_cull > 0:
+            return jax.lax.cond(
+                do_compact,
+                lambda x: cull_and_compact(
+                    x, keep_latest=keep_latest, redundancy=redundancy,
+                    min_other_obs=min_other_obs, max_cull=max_cull,
+                    # guarantee headroom for the next chunk's insertions —
+                    # a full store accrues no new observations, so without
+                    # forcing, redundancy freezes below threshold and
+                    # insertion starves at the capacity wall
+                    force_free=max_cull,
+                ),
+                ident,
+                mm,
+            )
+        return ident(mm)
+
+    return jax.lax.cond(any_kf, run, ident, m)
 
 
 class ChunkedTracker:
@@ -299,11 +337,18 @@ class ChunkedTracker:
     """
 
     def __init__(self, engine: MonoTracker, local_ba_every_chunk: bool = True,
-                 rectify_map=None):
+                 rectify_map=None, boundary_compact: bool = True):
         from .stereo import StereoTracker, RGBDTracker
 
         self.engine = engine
         self.local_ba_every_chunk = local_ba_every_chunk
+        # chunk-boundary keyframe culling + compaction (dispatch-only): keeps
+        # 2000+ frame runs inside the fixed capacities without host syncs.
+        # `compact_enabled` can be cleared temporarily (e.g. while an async
+        # loop-closure snapshot must stay slot-stable) — it feeds the device
+        # `do_compact` flag, not a recompile.
+        self.boundary_compact = boundary_compact and engine.cfg.kf_culling
+        self.compact_enabled = True
         if isinstance(engine, RGBDTracker):
             mode, extra = "rgbd", dict(
                 max_depth=engine.max_depth, min_depth=engine.min_depth
@@ -324,6 +369,7 @@ class ChunkedTracker:
         self._outs: list = []  # FrameOut per chunk (device-resident)
         self._chunk_kf_flags: list = []
         self._prefetched = None  # (id, device frames) from prefetch()
+        self._pending_carry = None  # end-of-chunk carry; None before 1st chunk
 
     @property
     def ready(self) -> bool:
@@ -331,6 +377,13 @@ class ChunkedTracker:
 
     def _carry(self) -> ChunkCarry:
         e = self.engine
+        if self._pending_carry is not None:
+            # continue from the previous chunk's end state (device scalars:
+            # status / keyframe-policy counters stay on device across
+            # chunks — no host sync needed between chunks); only the map is
+            # refreshed, since the boundary step (local BA / compaction)
+            # updated it after the scan produced this carry.
+            return self._pending_carry._replace(m=e.map)
         return ChunkCarry(
             m=e.map,
             pose_R=jnp.asarray(e.pose.R, jnp.float32),
@@ -374,25 +427,59 @@ class ChunkedTracker:
         e.frame_id = int(n_frames) + start_frame
         self._outs.append(out)
         self._chunk_kf_flags.append(out.kf_inserted)
+        # start the device->host copies now (non-blocking): by the time a
+        # caller drains this chunk's outputs — typically one chunk later —
+        # the bytes are already on the host and np.asarray doesn't stall
+        for leaf in out:
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass  # non-jax leaf (CPU test doubles)
 
-        # chunk-boundary mapping: one windowed local BA over the latest
-        # window if the chunk inserted any keyframe. `lax.cond` keeps the
-        # non-keyframe case free; still dispatch-only.
-        if self.local_ba_every_chunk and e.cfg.local_ba_window > 0:
-            e.map = _chunk_local_ba(
+        # chunk-boundary mapping: windowed local BA + multi-pass keyframe
+        # cull/compaction if the chunk inserted any keyframe. `lax.cond`
+        # keeps the non-keyframe case free; still dispatch-only — the
+        # CompactResult's permutations/counters are queued on the engine and
+        # read back lazily (drain_compactions), same as the host path.
+        if self.local_ba_every_chunk and (
+            e.cfg.local_ba_window > 0 or self.boundary_compact
+        ):
+            max_cull = (
+                int(n_frames) // max(e.cfg.kf_min_interval, 1) + 1
+                if self.boundary_compact else 0
+            )
+            res = _chunk_boundary(
                 e.map, e.cam, jnp.any(out.kf_inserted),
+                jnp.asarray(self.compact_enabled),
                 e.cfg.local_ba_window, e.cfg.local_ba_iters,
                 e.cfg.local_ba_covisibility,
+                max_cull, e.cfg.kf_cull_keep_latest,
+                e.cfg.kf_cull_redundancy, e.cfg.kf_cull_min_other_obs,
             )
+            e.map = res.map
+            if self.boundary_compact:
+                e._pending_compacts.append(res)
 
         # host bookkeeping reads scalars ONCE per chunk at the next boundary
         # via collect(); status/last_kf tracking for the engine object:
         self._pending_carry = carry
 
+    def invalidate_carry(self) -> None:
+        """Call after mutating the engine's host state (pose, status,
+        keyframe counters) outside the chunk loop — e.g. relocalization or
+        a loop-closure pose resync. Folds the pending device scalars back
+        into the engine first, then forces the next chunk's carry to be
+        rebuilt from the (now authoritative) host state."""
+        self.sync()
+        self._pending_carry = None
+
     def sync(self) -> None:
         """Fetch the minimal end-of-chunk scalars into the engine's host
-        state (status, keyframe counters) — one small transfer."""
+        state (status, keyframe counters) — one small transfer. No-op
+        before the first process_chunk."""
         c = self._pending_carry
+        if c is None:
+            return
         packed = np.asarray(
             jnp.stack([
                 c.status.astype(jnp.int32),
@@ -407,6 +494,17 @@ class ChunkedTracker:
         e.last_kf_frame = int(packed[1])
         e.inliers_at_last_kf = int(packed[2])
         e._kf_count = int(packed[3])
+
+    def drain(self):
+        """Fetch and CLEAR the per-frame outputs accumulated since the last
+        drain. Returns (statuses, n_inliers, poses_R, poses_t, kf_inserted)
+        as numpy arrays — the pipeline path calls this once per chunk to
+        emit per-frame results; long sessions never accumulate device
+        buffers."""
+        out = self.collect()
+        self._outs.clear()
+        self._chunk_kf_flags.clear()
+        return out
 
     def collect(self):
         """Fetch all per-frame outputs accumulated so far (bulk transfer).

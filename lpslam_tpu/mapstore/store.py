@@ -132,7 +132,7 @@ class CompactResult(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("keep_latest", "force_min_one")
+    jax.jit, static_argnames=("keep_latest", "force_min_one", "max_cull")
 )
 def cull_and_compact(
     m: MapStore,
@@ -140,6 +140,8 @@ def cull_and_compact(
     redundancy: float = 0.9,
     min_other_obs: int = 3,
     force_min_one: bool = False,
+    max_cull: int = 1,
+    force_free: int = 0,
 ) -> CompactResult:
     """Cull redundant keyframes, drop orphaned landmarks, compact the store.
 
@@ -150,6 +152,23 @@ def cull_and_compact(
     the single most redundant cullable keyframe is dropped even below the
     threshold — the capacity-pressure escape hatch.
 
+    Culling proceeds one keyframe at a time for up to `max_cull` passes:
+    each pass recomputes every candidate's redundancy with the previous
+    culls applied (observation counters decremented), so covisible groups
+    are never over-dropped by a mass cull — the engine's cleaner is also
+    incremental. The per-keyframe host path uses max_cull=1 (one pass per
+    insertion); the chunked device loop runs the boundary pass with
+    max_cull sized to the keyframes a chunk can insert, keeping the cull
+    rate matched to the insert rate without host round trips.
+
+    `force_free` (traced int, 0 = off): while fewer than this many keyframe
+    slots are free, passes cull the most redundant candidate even below the
+    redundancy threshold — the dispatch-only form of the capacity escape
+    hatch, guaranteeing headroom for the next chunk's insertions so a full
+    store can never starve the scan (a store at capacity accrues no new
+    observations, so redundancy would otherwise freeze below threshold
+    forever).
+
     Returns the compacted map plus the (new -> old) slot permutations so
     host-side side tables (e.g. the loop-closer's BoW database rows) can be
     remapped: ``db_new = db_old[kf_order]``.
@@ -158,35 +177,42 @@ def cull_and_compact(
     M = m.lm_pos.shape[0]
     kf_ids = jnp.arange(K, dtype=jnp.int32)
 
-    # --- 1. flag redundant keyframes
-    has = (m.kf_lm_idx >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
-    obs = m.lm_n_obs[jnp.maximum(m.kf_lm_idx, 0)]          # (K, N)
-    red = has & (obs >= min_other_obs + 1)
-    n_has = jnp.sum(has, axis=1)
-    frac = jnp.sum(red, axis=1) / jnp.maximum(n_has, 1).astype(jnp.float32)
+    lm_idx_flat = jnp.maximum(m.kf_lm_idx, 0).reshape(-1)
     protected = (kf_ids >= m.n_kf - keep_latest) | (kf_ids < 2)
-    cullable = m.kf_valid & ~protected & (n_has > 0)
-    # Cull AT MOST ONE keyframe per pass: the redundancy of each candidate is
-    # computed assuming every other keyframe survives, so a mass cull would
-    # over-drop covisible groups (the engine's cleaner also culls
-    # incrementally). The pass runs on every keyframe insertion, so the
-    # sustained cull rate still matches the insert rate.
-    if force_min_one:
-        score = jnp.where(cullable, frac, -1.0)
-    else:
-        score = jnp.where(cullable & (frac >= redundancy), frac, -1.0)
-    best = jnp.argmax(score)
-    cull = (kf_ids == best) & (jnp.max(score) >= 0.0)
-    n_culled = jnp.sum(cull).astype(jnp.int32)
 
-    # --- 2. decrement landmark observation counts for culled keyframes
-    dec_src = (has & cull[:, None]).astype(jnp.int32).reshape(-1)
-    dec = jax.ops.segment_sum(
-        dec_src, jnp.maximum(m.kf_lm_idx, 0).reshape(-1), num_segments=M
+    # --- 1. iterative redundancy culling: one keyframe per pass
+    def one_pass(i, carry):
+        kf_valid, lm_n_obs, n_culled = carry
+        has = (m.kf_lm_idx >= 0) & m.kf_kp_valid & kf_valid[:, None]
+        obs = lm_n_obs[jnp.maximum(m.kf_lm_idx, 0)]        # (K, N)
+        red = has & (obs >= min_other_obs + 1)
+        n_has = jnp.sum(has, axis=1)
+        frac = jnp.sum(red, axis=1) / jnp.maximum(n_has, 1).astype(jnp.float32)
+        cullable = kf_valid & ~protected & (n_has > 0)
+        # capacity escape hatches: force_min_one (first pass only) and
+        # force_free (until enough slots are free)
+        n_free = K - jnp.sum(kf_valid.astype(jnp.int32))
+        force = jnp.logical_or(
+            jnp.logical_and(i == 0, force_min_one),
+            n_free < force_free,
+        )
+        score = jnp.where(
+            cullable & ((frac >= redundancy) | force), frac, -1.0
+        )
+        best = jnp.argmax(score)
+        cull = (kf_ids == best) & (jnp.max(score) >= 0.0)
+        dec_src = (has & cull[:, None]).astype(jnp.int32).reshape(-1)
+        dec = jax.ops.segment_sum(dec_src, lm_idx_flat, num_segments=M)
+        return (
+            kf_valid & ~cull,
+            lm_n_obs - dec,
+            n_culled + jnp.sum(cull).astype(jnp.int32),
+        )
+
+    kf_valid, lm_n_obs, n_culled = jax.lax.fori_loop(
+        0, max_cull, one_pass, (m.kf_valid, m.lm_n_obs, jnp.int32(0))
     )
-    lm_n_obs = m.lm_n_obs - dec
     lm_valid = m.lm_valid & (lm_n_obs > 0)
-    kf_valid = m.kf_valid & ~cull
 
     # --- 3. landmark compaction: stable partition valid-first + index remap
     lm_order = jnp.argsort(~lm_valid, stable=True)          # new -> old

@@ -182,11 +182,19 @@ class ManagedThread:
         self._thread = threading.Thread(target=loop, name=self._name, daemon=True)
         self._thread.start()
 
-    def stop(self, join_timeout: float = 5.0):
+    def stop(self, join_timeout: float = 5.0) -> bool:
+        """Signal the loop and join. Returns True when the worker actually
+        exited within the timeout — callers owning resources the worker may
+        still be touching (e.g. the record stream's FILE*) must not free
+        them on a False return."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=join_timeout)
+            t = self._thread
+            t.join(timeout=join_timeout)
+            if t.is_alive():
+                return False
             self._thread = None
+        return True
 
     def stop_async(self):
         self._stop.set()

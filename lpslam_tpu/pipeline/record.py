@@ -8,10 +8,13 @@ frames as JPEG + sensor values + results,
 """
 from __future__ import annotations
 
+import logging
 import time
 from typing import Optional
 
 import numpy as np
+
+_log = logging.getLogger("lpslam")
 
 from .queues import BoundedQueue, CameraQueueEntry, SensorQueueEntry, ManagedThread
 from ..io import lpslam_pb as pb
@@ -122,6 +125,7 @@ class RecordEngine:
         self._worker.start()
 
     def stop(self):
+        joined = True
         if self._worker is not None:
             # drain before stopping, with a deadline so a dead/stalled worker
             # cannot wedge shutdown (messages still queued past the deadline
@@ -129,9 +133,16 @@ class RecordEngine:
             deadline = time.monotonic() + 5.0
             while not self._queue.empty() and time.monotonic() < deadline:
                 time.sleep(0.01)
-            self._worker.stop()
+            joined = self._worker.stop()
             self._worker = None
         if self._writer is not None:
+            if not joined:
+                # the worker may still be mid-write with the GIL released:
+                # closing the stream now would be a use-after-free. Leak the
+                # writer instead (the wedged thread is daemonized).
+                _log.error("record worker did not stop; leaving stream open")
+                self._writer = None
+                return
             self._writer.close()
             self._writer = None
 

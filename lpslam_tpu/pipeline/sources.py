@@ -423,8 +423,10 @@ class ZedSdkSource(ImageSourceBase):
       gain = 30 + (1 - mean/255) * 60 (:56-64)
     - the camera's own IMAGE-time hardware timestamp (nanoseconds) is
       attached as the ROS timestamp on each entry (:86-91)
-    - 12 cm eye baseline (:66-73) is carried by the stereo entry's
-      left/right split downstream
+    - the 12 cm eye baseline (:66-73) is NOT stamped on the queue entry;
+      stereo geometry must be supplied via the camera configuration's
+      focal_x_baseline (as examples/zed_live_record.json does), which the
+      tracker registry reads when building the stereo engine
 
     The SDK needs CUDA-class hardware; in this TPU framework the class is
     import-gated — constructing it without `pyzed` raises with a pointer at
@@ -458,13 +460,20 @@ class ZedSdkSource(ImageSourceBase):
         self._cam = None
         self._frame_number = 0
 
+    VALID_RESOLUTIONS = ("VGA", "HD720", "HD1080", "HD2K")
+
     def start(self, camera_queue: BoundedQueue):
         sl = self._sl
+        res_name = self.cfg["resolution"].upper()
+        if res_name not in self.VALID_RESOLUTIONS:
+            raise RuntimeError(
+                f"unknown ZED resolution '{self.cfg['resolution']}'; "
+                f"valid: {'|'.join(self.VALID_RESOLUTIONS)}"
+            )
+        resolution = getattr(sl.RESOLUTION, res_name)
         self._cam = sl.Camera()
         init = sl.InitParameters()
-        init.camera_resolution = getattr(
-            sl.RESOLUTION, self.cfg["resolution"].upper()
-        )
+        init.camera_resolution = resolution
         init.depth_mode = sl.DEPTH_MODE.NONE
         init.sdk_verbose = self.cfg["verbose"]
         init.camera_fps = self.cfg["fps"]

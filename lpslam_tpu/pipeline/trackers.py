@@ -127,6 +127,19 @@ class VSLAMTracker(TrackerBase):
         # push the landmark map onto the sensor queue every N seconds
         # (reference emitMap, OpenVSLAMTracker.cpp:146-153; 0 = off)
         .optional("emit_map_seconds", float, 0.0)
+        # last-resort relocalization: when PnP verification FAILS, jump the
+        # pose prior to the best-scoring BoW keyframe anyway and let the
+        # wide-radius LOST matching try to re-acquire. Off by default — an
+        # unverified jump can latch onto the wrong place in self-similar
+        # scenes; the verified PnP path is the supported relocalizer.
+        .optional("unverified_bow_teleport", bool, False)
+        # device chunked frame loop (frontend/device_loop.py): process
+        # frames in chunks of this size through one compiled lax.scan —
+        # the TPU-native frame loop (bench/eval throughput path). 0/1 =
+        # per-frame host loop. Initialization and relocalization always run
+        # on the host path; results for buffered frames are emitted at
+        # chunk boundaries.
+        .optional("chunk_size", int, 0)
     )
 
     def __init__(self, cam: PinholeCamera, config: Optional[dict] = None):
@@ -407,9 +420,9 @@ class VSLAMTracker(TrackerBase):
         """Relocalization after tracking loss: BoW candidates from the
         keyframe database → PnP + pose-refine with inlier gate in the engine
         (matching the engine relocalizer's candidate→solve→verify chain,
-        OpenVSLAMTrackerBase.cpp:205-211). Falls back to jumping the pose
-        prior to the best-scoring keyframe when geometry can't verify (wide-
-        radius LOST matching may still re-acquire)."""
+        OpenVSLAMTrackerBase.cpp:205-211). Optionally (config
+        `unverified_bow_teleport`) jumps the pose prior to the best-scoring
+        keyframe when geometry can't verify."""
         feats = getattr(self.engine, "last_feats", None)
         if feats is None:
             return
@@ -428,11 +441,12 @@ class VSLAMTracker(TrackerBase):
         if self.engine.relocalize_with_candidates(feats, cands, min_inliers=min_inl):
             self._lost_since = None
             return
-        from ..geometry.se3 import SE3
+        if self.cfg["unverified_bow_teleport"]:
+            from ..geometry.se3 import SE3
 
-        m = self.engine.map
-        best = cands[0]
-        self.engine.pose = SE3(m.kf_R[best], m.kf_t[best])
+            m = self.engine.map
+            best = cands[0]
+            self.engine.pose = SE3(m.kf_R[best], m.kf_t[best])
 
     def _reseed_from_nav(self, nav_odom):
         """Relocalization prior from navigation data (fork extension parity)."""
