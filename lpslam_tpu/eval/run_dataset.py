@@ -91,6 +91,10 @@ def main(argv=None):
                         " Sim3 pose graph); 0 disables, only active with"
                         " --loop")
     p.add_argument("--vocab", default="", help="vocabulary file (else lazy-trained)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="device chunk size: >=2 runs steady tracking through"
+                        " the compiled chunk scan (the pipeline fast path);"
+                        " 0 = per-frame host loop")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
@@ -146,6 +150,7 @@ def main(argv=None):
         "loop_closure": bool(args.loop),
         "loop_global_ba_iters": args.global_ba if args.loop else 0,
         "vocab_file": args.vocab,
+        "chunk_size": args.chunk,
     })
 
     timestamps = []
@@ -165,6 +170,7 @@ def main(argv=None):
         n += 1
         if args.max_frames and n >= args.max_frames:
             break
+    tracker.flush()  # drain deferred chunk results into the trajectory
     wall = time.perf_counter() - t_start
 
     engine = tracker.engine

@@ -79,7 +79,7 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
                     mapping_enabled: bool = True, rectify_map=None,
                     mode: str = "mono", focal_x_baseline: float = 0.0,
                     y_margin: float = 2.0, max_depth: float = 12.0,
-                    min_depth: float = 0.1):
+                    min_depth: float = 0.1, ba_in_scan: bool = True):
     """Build the jitted (carry, frames) -> (carry, FrameOut) program.
 
     frames per mode:
@@ -216,6 +216,24 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
                 return triangulate_new_landmarks(m2_, cam, cfg)
 
         m2 = jax.lax.cond(kf, _insert, lambda m: m, tr.map)
+
+        # windowed local BA rides the keyframe cond INSIDE the scan — the
+        # same per-keyframe cadence as the host path (and the engine's
+        # mapping thread), so chunked and per-frame runs optimize the map
+        # equally often. Non-keyframe frames pay nothing under lax.cond.
+        if mapping_enabled and ba_in_scan and cfg.local_ba_window > 0:
+            from ..backend.ba import local_ba
+
+            m2 = jax.lax.cond(
+                kf,
+                lambda mm: local_ba(
+                    mm, cam, window=cfg.local_ba_window,
+                    iters=cfg.local_ba_iters,
+                    covisibility=cfg.local_ba_covisibility,
+                )[0],
+                lambda mm: mm,
+                m2,
+            )
 
         out = FrameOut(
             status=status.astype(jnp.int32),
@@ -364,7 +382,7 @@ class ChunkedTracker:
         self._scan = make_chunk_step(
             engine.cam, engine.cfg, mask=engine.mask,
             mapping_enabled=engine.mapping_enabled, rectify_map=rectify_map,
-            mode=mode, **extra,
+            mode=mode, ba_in_scan=local_ba_every_chunk, **extra,
         )
         self._outs: list = []  # FrameOut per chunk (device-resident)
         self._chunk_kf_flags: list = []
@@ -436,29 +454,23 @@ class ChunkedTracker:
             except AttributeError:
                 pass  # non-jax leaf (CPU test doubles)
 
-        # chunk-boundary mapping: windowed local BA + multi-pass keyframe
-        # cull/compaction if the chunk inserted any keyframe. `lax.cond`
-        # keeps the non-keyframe case free; still dispatch-only — the
-        # CompactResult's permutations/counters are queued on the engine and
-        # read back lazily (drain_compactions), same as the host path.
-        if self.local_ba_every_chunk and (
-            e.cfg.local_ba_window > 0 or self.boundary_compact
-        ):
-            max_cull = (
-                int(n_frames) // max(e.cfg.kf_min_interval, 1) + 1
-                if self.boundary_compact else 0
-            )
+        # chunk-boundary mapping: multi-pass keyframe cull/compaction if the
+        # chunk inserted any keyframe (local BA already ran per keyframe
+        # INSIDE the scan). `lax.cond` keeps the non-keyframe case free;
+        # still dispatch-only — the CompactResult's permutations/counters
+        # are queued on the engine and read back lazily (drain_compactions),
+        # same as the host path.
+        if self.boundary_compact:
+            max_cull = int(n_frames) // max(e.cfg.kf_min_interval, 1) + 1
             res = _chunk_boundary(
                 e.map, e.cam, jnp.any(out.kf_inserted),
                 jnp.asarray(self.compact_enabled),
-                e.cfg.local_ba_window, e.cfg.local_ba_iters,
-                e.cfg.local_ba_covisibility,
+                0, 0, False,
                 max_cull, e.cfg.kf_cull_keep_latest,
                 e.cfg.kf_cull_redundancy, e.cfg.kf_cull_min_other_obs,
             )
             e.map = res.map
-            if self.boundary_compact:
-                e._pending_compacts.append(res)
+            e._pending_compacts.append(res)
 
         # host bookkeeping reads scalars ONCE per chunk at the next boundary
         # via collect(); status/last_kf tracking for the engine object:
@@ -471,6 +483,12 @@ class ChunkedTracker:
         into the engine first, then forces the next chunk's carry to be
         rebuilt from the (now authoritative) host state."""
         self.sync()
+        self._pending_carry = None
+
+    def discard_carry(self) -> None:
+        """Drop the pending device carry WITHOUT folding it into the engine
+        — for the host→chunk transition after the host path already ran
+        frames (its state is newer than the last chunk's carry)."""
         self._pending_carry = None
 
     def sync(self) -> None:
@@ -495,16 +513,35 @@ class ChunkedTracker:
         e.inliers_at_last_kf = int(packed[2])
         e._kf_count = int(packed[3])
 
-    def drain(self):
-        """Fetch and CLEAR the per-frame outputs accumulated since the last
-        drain. Returns (statuses, n_inliers, poses_R, poses_t, kf_inserted)
-        as numpy arrays — the pipeline path calls this once per chunk to
-        emit per-frame results; long sessions never accumulate device
-        buffers."""
-        out = self.collect()
-        self._outs.clear()
-        self._chunk_kf_flags.clear()
-        return out
+    def drain(self, keep_last: int = 0):
+        """Fetch and CLEAR per-frame outputs accumulated since the last
+        drain, keeping the newest `keep_last` chunks pending. Returns
+        (statuses, n_inliers, poses_R, poses_t, kf_inserted) as numpy.
+
+        The pipeline path calls drain(keep_last=1) at each chunk boundary:
+        it then only materializes chunks whose device->host copies were
+        started a boundary ago (copy_to_host_async in process_chunk), so
+        the steady loop never blocks on the chunk still computing — results
+        are delivered one chunk late, the TPU-native analog of the
+        reference's asynchronous result queue."""
+        take = len(self._outs) - keep_last
+        if take <= 0:
+            return (np.zeros(0, np.int32),) * 2 + (
+                np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+                np.zeros(0, bool),
+            )
+        outs, self._outs = self._outs[:take], self._outs[take:]
+        self._chunk_kf_flags = self._chunk_kf_flags[take:]
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs) \
+            if len(outs) > 1 else outs[0]
+        return (
+            np.asarray(cat.status),
+            np.asarray(cat.n_inliers),
+            np.asarray(cat.pose_R),
+            np.asarray(cat.pose_t),
+            np.asarray(cat.kf_inserted),
+        )
 
     def collect(self):
         """Fetch all per-frame outputs accumulated so far (bulk transfer).

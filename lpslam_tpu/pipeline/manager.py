@@ -235,6 +235,13 @@ class SlamManager:
         for src in self.sources:
             src.stop()
         self._worker.stop()
+        # flush deferred chunk results while the notify worker still runs,
+        # so clients receive every frame's result before shutdown
+        for tracker in self.trackers:
+            self._push_results(tracker.flush())
+        deadline = time.monotonic() + 2.0
+        while not self.result_queue.empty() and time.monotonic() < deadline:
+            time.sleep(0.01)
         self._notify_worker.stop()
         self._image_cb_worker.stop()
         for tracker in self.trackers:
@@ -533,22 +540,18 @@ class SlamManager:
             entry = proc.process_image(entry)
 
         sent = False
+        deferred = False
         for tracker in self.trackers:
             results = tracker.process_image(entry, nav_odom, nav_map, sensor_values)
-            for res in results:
-                rq = ResultQueueEntry(
-                    timestamp=res.timestamp,
-                    position=res.position,
-                    orientation_wxyz=res.orientation_wxyz,
-                    valid=res.valid,
-                )
-                if self._record_enabled:
-                    self.recorder.store_result(
-                        res.timestamp, res.position, res.orientation_wxyz
-                    )
-                self.result_queue.push(rq)
+            if results is None:
+                # chunked tracker buffered the frame: its result arrives at
+                # the chunk boundary — emitting an invalid entry now would
+                # misreport a gap that doesn't exist
+                deferred = True
+                continue
+            if self._push_results(results):
                 sent = True
-        if not sent:
+        if not sent and not deferred:
             # invalid reconstruction so clients observe the gap
             # (SlamManager.cpp:230-236)
             self.result_queue.push(
@@ -559,6 +562,23 @@ class SlamManager:
                     valid=False,
                 )
             )
+
+    def _push_results(self, results) -> bool:
+        sent = False
+        for res in results:
+            rq = ResultQueueEntry(
+                timestamp=res.timestamp,
+                position=res.position,
+                orientation_wxyz=res.orientation_wxyz,
+                valid=res.valid,
+            )
+            if self._record_enabled and res.valid:
+                self.recorder.store_result(
+                    res.timestamp, res.position, res.orientation_wxyz
+                )
+            self.result_queue.push(rq)
+            sent = True
+        return sent
 
     def _notify(self, thread: ManagedThread):
         res = self.result_queue.pop(timeout=0.1)

@@ -78,7 +78,15 @@ class TrackerBase:
 
     def process_image(self, entry: CameraQueueEntry, nav_odom=None, nav_map=None,
                       sensor_values=()) -> list:
+        """Returns a list of TrackerResults for this frame — or None when the
+        frame's result is DEFERRED (chunked trackers emit buffered frames'
+        results at chunk boundaries; the manager must not emit an invalid
+        reconstruction for a deferred frame)."""
         raise NotImplementedError
+
+    def flush(self) -> list:
+        """Emit any deferred results (end of stream / pipeline stop)."""
+        return []
 
     def add_laser_scan(self, scan: LaserScan):
         pass
@@ -176,6 +184,18 @@ class VSLAMTracker(TrackerBase):
             raise ValueError(f"unknown tracker mode '{mode}'")
 
         self.engine.mapping_enabled = self.cfg["mapping"]
+        # chunked device frame loop (chunk_size >= 2): steady TRACKING
+        # frames ride the lax.scan device loop; init / relocalization / nav
+        # fusion frames take the per-frame host path. Results for buffered
+        # frames are emitted at chunk boundaries, one chunk late (the
+        # drained chunk's device->host copy finished while the next one
+        # computed), so the steady loop never blocks on the device.
+        self._chunk_size = int(self.cfg["chunk_size"] or 0)
+        self._chunked = None              # lazily-built ChunkedTracker
+        self._chunk_buf: list = []        # entries awaiting dispatch
+        self._chunk_inflight: list = []   # (frame_id, entry) dispatched, undrained
+        self._host_dirty = False          # host path ran since last chunk
+        self._device_rectify = None       # (H,W,2) remap for on-device undistort
         self.loop_closer = None
         self._vocab = None
         self._loop_pending_kfs = 0
@@ -284,6 +304,28 @@ class VSLAMTracker(TrackerBase):
         if nav_odom is not None:
             self._last_nav_odom = nav_odom
 
+        # chunked device loop: steady TRACKING frames with no per-frame nav
+        # prior ride the scan (the reference's hot loop IS its pipeline —
+        # SlamManager.cpp:54-239; here the pipeline's hot loop IS the
+        # compiled chunk scan). Everything else (init, lost/relocalize, nav
+        # fusion) stays on the host path.
+        if self._chunk_size >= 2:
+            chunkable = (
+                self.engine.status == TrackerStatus.TRACKING
+                and nav_prior is None
+            )
+            if chunkable:
+                return self._chunk_process(entry)
+            flushed = self._chunk_drain_all()
+            res = self._process_host(entry, nav_odom, nav_prior)
+            return flushed + res if flushed else res
+
+        return self._process_host(entry, nav_odom, nav_prior)
+
+    def _process_host(self, entry: CameraQueueEntry, nav_odom=None,
+                      nav_prior=None) -> list:
+        """Per-frame host path: one engine.process round trip per frame."""
+        self._host_dirty = True
         t0 = time.monotonic()
         aux = entry.image_second if self.cfg["mode"] == "stereo" else entry.aux
         st, pose = self.engine.process(entry.image, aux=aux, nav_prior=nav_prior)
@@ -293,23 +335,7 @@ class VSLAMTracker(TrackerBase):
         self._maybe_emit_map(entry.timestamp)
 
         if self.cfg["loop_closure"]:
-            if self.loop_closer is None:
-                import os
-
-                # shipped pre-trained vocabulary (orb_vocab.dbow2 parity
-                # asset) is the default; an explicit vocab_file overrides;
-                # lazy self-training remains the last-resort fallback
-                path = self.cfg["vocab_file"] or os.path.join(
-                    os.path.dirname(os.path.dirname(__file__)),
-                    "assets", "orb_vocab.npz",
-                )
-                if os.path.exists(path) or os.path.exists(path + ".npz"):
-                    from ..loop import load_vocabulary, LoopCloser
-
-                    vocab = load_vocabulary(path)
-                    self.loop_closer = LoopCloser(
-                        vocab, self.cfg["max_keyframes"], cfg=self._loop_cfg()
-                    )
+            self._ensure_loop_closer()
             self._maybe_close_loop()
         elif not self.engine.mapping_in_flight:
             # no slot-keyed side tables to fix — discard events (non-blocking)
@@ -346,6 +372,140 @@ class VSLAMTracker(TrackerBase):
             )
         ]
 
+    # -- chunked device loop (pipeline fast path) ----------------------------
+
+    def attach_device_rectify(self, rectify_map) -> None:
+        """Move undistortion onto the device for the chunk loop: frames are
+        uploaded raw (uint8 when possible — 4x less transfer than rectified
+        float32) and remapped on-device batched over the chunk. The host
+        RectifyProcessor should then be bypassed for this tracker's frames.
+        rectify_map: (H, W, 2) source coordinates; stereo: (2, H, W, 2)."""
+        self._device_rectify = np.asarray(rectify_map, np.float32)
+        self._chunked = None  # rebuild with the maps
+
+    def _chunk_tracker(self):
+        if self._chunked is None:
+            from ..frontend.device_loop import ChunkedTracker
+
+            self._chunked = ChunkedTracker(
+                self.engine, rectify_map=self._device_rectify
+            )
+            self._host_dirty = False
+        return self._chunked
+
+    def _stack_chunk(self, entries) -> object:
+        """Stack buffered entries into the scan's input layout. uint8 when
+        the data is integral 0..255 (the wire-efficient form)."""
+        def stack(imgs):
+            a = np.stack(imgs)
+            if a.dtype != np.uint8 and a.size and float(a.max(initial=0.0)) <= 255.0:
+                if np.allclose(a, np.round(a)):
+                    a = a.astype(np.uint8)
+            return a
+
+        mode = self.cfg["mode"]
+        if mode == "stereo":
+            return stack([np.stack([e.image, e.image_second]) for e in entries])
+        if mode == "rgbd":
+            # depth stays float (metric units)
+            return (stack([e.image for e in entries]),
+                    np.stack([e.aux for e in entries]).astype(np.float32))
+        return stack([e.image for e in entries])
+
+    def _chunk_process(self, entry: CameraQueueEntry):
+        """Buffer the frame; dispatch a chunk when full. Returns None while
+        buffering (deferred — the manager must not emit an invalid result),
+        or the drained per-frame results of previously-dispatched chunks."""
+        self._chunk_buf.append(entry)
+        if len(self._chunk_buf) < self._chunk_size:
+            return None
+        ct = self._chunk_tracker()
+        if self._host_dirty:
+            # host path ran since the last chunk: its pose/status are newer
+            # than the pending device carry
+            ct.discard_carry()
+            self._host_dirty = False
+        buf, self._chunk_buf = self._chunk_buf, []
+        start_fid = self.engine.frame_id
+        t0 = time.monotonic()
+        ct.process_chunk(self._stack_chunk(buf))
+        dt = (time.monotonic() - t0) / len(buf)
+        self._frame_times.append(dt)
+        if len(self._frame_times) > 30:
+            self._frame_times.pop(0)
+        self._chunk_inflight.extend(
+            (start_fid + i, e) for i, e in enumerate(buf)
+        )
+        results = self._emit_chunk_results(ct.drain(keep_last=1))
+        self._maybe_emit_map(entry.timestamp)
+        if self.cfg["loop_closure"]:
+            self._chunk_loop_boundary(ct)
+        return results
+
+    def _chunk_drain_all(self) -> list:
+        """Flush the chunk path completely: run still-buffered frames through
+        the host path and drain every dispatched chunk's outputs. Called
+        when a frame needs the host path (nav prior, lost recovery) and on
+        stop — per-frame result order is preserved."""
+        if self._chunked is None and not self._chunk_buf:
+            return []
+        results = []
+        if self._chunked is not None:
+            self._chunked.sync()
+            results += self._emit_chunk_results(self._chunked.drain())
+        buf, self._chunk_buf = self._chunk_buf, []
+        for e in buf:
+            results += self._process_host(e)
+        return results
+
+    def flush(self) -> list:
+        """Drain deferred chunk results (pipeline stop / end of dataset)."""
+        return self._chunk_drain_all()
+
+    def _emit_chunk_results(self, drained) -> list:
+        """Per-frame TrackerResults + trajectory records from drained chunk
+        outputs; detects in-chunk tracking loss (one chunk late) and hands
+        recovery to the host path."""
+        sts, n_inl, pR, pt, kf_ins = drained
+        out = []
+        from ..geometry.se3 import SE3 as _SE3
+
+        for i in range(len(sts)):
+            fid, entry = self._chunk_inflight.pop(0)
+            tracking = sts[i] == int(TrackerStatus.TRACKING)
+            pose = _SE3(pR[i], pt[i]) if tracking else None
+            self.engine.trajectory.append(
+                (fid, pose, TrackerStatus(int(sts[i])))
+            )
+            if tracking:
+                center_lp, q = create_tracker_result_pose(pR[i], pt[i])
+                out.append(TrackerResult(entry.timestamp, center_lp, q, True))
+            else:
+                out.append(TrackerResult(
+                    entry.timestamp, np.zeros(3),
+                    np.array([1.0, 0, 0, 0]), False,
+                ))
+        if len(sts) and sts[-1] == int(TrackerStatus.LOST):
+            # fold authoritative device state into the host engine; the
+            # host path (relocalization) takes over on the next frame
+            self._chunked.invalidate_carry()
+            if self.engine.status == TrackerStatus.LOST \
+                    and self._lost_since is None and out:
+                self._lost_since = out[-1].timestamp
+        return out
+
+    def _chunk_loop_boundary(self, ct) -> None:
+        """Loop-closure bookkeeping at a chunk boundary: sync the keyframe
+        counters, realign the BoW database through any boundary compactions,
+        add new keyframes, and attempt closure (the engine's loop thread
+        cadence, amortized over the chunk)."""
+        ct.sync()
+        self._ensure_loop_closer()
+        closed = self._maybe_close_loop()
+        if closed:
+            # pose was resynced to the corrected keyframe: rebuild the carry
+            ct.discard_carry()
+
     def _sync_compactions(self):
         """Consume MapStore compaction events: remap the loop-closer BoW
         database rows and the pending-keyframe cursor through the keyframe
@@ -370,25 +530,47 @@ class VSLAMTracker(TrackerBase):
             global_ba_iters=int(self.cfg["loop_global_ba_iters"]),
         )
 
-    def _maybe_close_loop(self):
+    def _ensure_loop_closer(self):
+        if self.loop_closer is not None:
+            return
+        import os
+
+        # shipped pre-trained vocabulary (orb_vocab.dbow2 parity asset) is
+        # the default; an explicit vocab_file overrides; lazy self-training
+        # remains the last-resort fallback
+        path = self.cfg["vocab_file"] or os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "assets", "orb_vocab.npz",
+        )
+        if os.path.exists(path) or os.path.exists(path + ".npz"):
+            from ..loop import load_vocabulary, LoopCloser
+
+            vocab = load_vocabulary(path)
+            self.loop_closer = LoopCloser(
+                vocab, self.cfg["max_keyframes"], cfg=self._loop_cfg()
+            )
+
+    def _maybe_close_loop(self) -> bool:
+        """Returns True when a loop closure was accepted and applied (the
+        tracker pose was resynced)."""
         import jax.numpy as jnp
 
         # wait for a quiescent map: loop bookkeeping indexes keyframe slots,
         # which must not shift under it (async mapping / pending compaction);
         # mapping settles within a frame or two, far before the next keyframe
         if self.engine.mapping_in_flight:
-            return
+            return False
         self._sync_compactions()
         nk = self.engine.n_keyframes
         if nk <= self._loop_pending_kfs:
-            return
+            return False
         if self.loop_closer is None:
             # train the vocabulary lazily on the map's own descriptors (the
             # reference ships a pre-trained orb_vocab.dbow2; self-training on
             # session data is the dataset-free equivalent)
             if nk < 4:
                 self._loop_pending_kfs = nk
-                return
+                return False
             from ..loop import train_vocabulary, LoopCloser
 
             m = self.engine.map
@@ -402,7 +584,8 @@ class VSLAMTracker(TrackerBase):
             for k in range(nk):
                 self.loop_closer.add_keyframe(m, k)
             self._loop_pending_kfs = nk
-            return
+            return False
+        closed = False
         for k in range(self._loop_pending_kfs, nk):
             self.loop_closer.add_keyframe(self.engine.map, k)
             self.engine.map, res = self.loop_closer.try_close(self.engine.map, k, cam=self.engine.cam)
@@ -414,7 +597,9 @@ class VSLAMTracker(TrackerBase):
                 self.engine.pose = SE3(
                     self.engine.map.kf_R[kk], self.engine.map.kf_t[kk]
                 )
+                closed = True
         self._loop_pending_kfs = nk
+        return closed
 
     def _bow_relocalize(self):
         """Relocalization after tracking loss: BoW candidates from the
