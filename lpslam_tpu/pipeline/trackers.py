@@ -122,6 +122,13 @@ class VSLAMTracker(TrackerBase):
         # > 0: run full-map bundle adjustment after an accepted loop's
         # pose-graph correction (BASELINE config 4: loop + global BA)
         .optional("loop_global_ba_iters", int, 0)
+        # run loop detection + geometric verification on a background
+        # worker (the engine's loop-closing thread equivalent,
+        # OpenVSLAMTrackerBase.cpp:238-255); an accepted verdict is applied
+        # later as ONE compiled dispatch (pose graph + re-anchor [+ global
+        # BA]) so the frame path never blocks on closure work. False =
+        # verify+apply inline on the keyframe's own frame.
+        .optional("loop_async", bool, True)
         .optional("mapping", bool, True)
         .optional("map_file", str, "")
         .optional("vocab_file", str, "")  # pre-trained vocabulary (orb_vocab parity)
@@ -199,6 +206,12 @@ class VSLAMTracker(TrackerBase):
         self.loop_closer = None
         self._vocab = None
         self._loop_pending_kfs = 0
+        # asynchronous loop closing: a single worker thread serializes every
+        # loop-closer operation (add_keyframe / remap / verify) so the BoW
+        # database never races; the main thread only polls verdict futures
+        self._loop_exec = None            # lazily-created 1-thread executor
+        self._loop_verdicts = None        # deque[(future, perm_epoch)]
+        self._loop_perm_log: list = []    # compactions since oldest in-flight
         self._last_result_time = 0.0
         self._lost_since: Optional[float] = None
         self._laser_buffer: list = []
@@ -459,8 +472,12 @@ class VSLAMTracker(TrackerBase):
         return results
 
     def flush(self) -> list:
-        """Drain deferred chunk results (pipeline stop / end of dataset)."""
-        return self._chunk_drain_all()
+        """Drain deferred chunk results (pipeline stop / end of dataset),
+        then land any in-flight loop verdicts so the final map is
+        corrected."""
+        out = self._chunk_drain_all()
+        self._loop_drain()
+        return out
 
     def _emit_chunk_results(self, drained) -> list:
         """Per-frame TrackerResults + trajectory records from drained chunk
@@ -509,10 +526,20 @@ class VSLAMTracker(TrackerBase):
     def _sync_compactions(self):
         """Consume MapStore compaction events: remap the loop-closer BoW
         database rows and the pending-keyframe cursor through the keyframe
-        slot permutation."""
+        slot permutation. In async mode the remap is enqueued on the loop
+        worker (ordered with add/verify jobs) and logged so in-flight
+        verdicts can be index-corrected at apply time."""
         for kf_order, n_kf_after in self.engine.drain_compactions():
             if self.loop_closer is not None:
-                self.loop_closer.remap(kf_order, n_kf_after)
+                if self._loop_exec is not None:
+                    lc, order = self.loop_closer, np.asarray(kf_order).copy()
+                    self._loop_exec.submit(lc.remap, order, n_kf_after)
+                else:
+                    self.loop_closer.remap(kf_order, n_kf_after)
+            if self._loop_verdicts:
+                self._loop_perm_log.append(
+                    (np.asarray(kf_order)[:n_kf_after].copy(), n_kf_after)
+                )
             # surviving old slots (in order) are kf_order[:n_kf_after]; the
             # new pending cursor counts how many of them were already added
             self._loop_pending_kfs = int(
@@ -563,7 +590,8 @@ class VSLAMTracker(TrackerBase):
         self._sync_compactions()
         nk = self.engine.n_keyframes
         if nk <= self._loop_pending_kfs:
-            return False
+            # no new keyframe — but a background verdict may have landed
+            return self._loop_poll()
         if self.loop_closer is None:
             # train the vocabulary lazily on the map's own descriptors (the
             # reference ships a pre-trained orb_vocab.dbow2; self-training on
@@ -585,21 +613,96 @@ class VSLAMTracker(TrackerBase):
                 self.loop_closer.add_keyframe(m, k)
             self._loop_pending_kfs = nk
             return False
-        closed = False
+        closed = self._loop_poll()
         for k in range(self._loop_pending_kfs, nk):
-            self.loop_closer.add_keyframe(self.engine.map, k)
-            self.engine.map, res = self.loop_closer.try_close(self.engine.map, k, cam=self.engine.cam)
-            if res.detected:
-                # pose changed under us: resync tracker pose with last KF
-                from ..geometry.se3 import SE3
-
-                kk = self.engine.map.n_kf - 1
-                self.engine.pose = SE3(
-                    self.engine.map.kf_R[kk], self.engine.map.kf_t[kk]
+            if self.cfg["loop_async"]:
+                self._loop_submit(k)
+            else:
+                self.loop_closer.add_keyframe(self.engine.map, k)
+                self.engine.map, res = self.loop_closer.try_close(
+                    self.engine.map, k, cam=self.engine.cam
                 )
-                closed = True
+                if res.detected:
+                    self._loop_resync_pose()
+                    closed = True
         self._loop_pending_kfs = nk
         return closed
+
+    # -- asynchronous loop closing (engine loop-thread equivalent) -----------
+
+    def _loop_submit(self, k: int) -> None:
+        """Enqueue BoW insert + detect/verify for keyframe k on the loop
+        worker, against an immutable snapshot of the current map pytree."""
+        if self._loop_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+            from collections import deque
+
+            self._loop_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="loop-closer"
+            )
+            self._loop_verdicts = deque()
+        lc, m = self.loop_closer, self.engine.map
+
+        def job():
+            lc.add_keyframe(m, k)
+            return lc.verify(m, k)
+
+        self._loop_verdicts.append(
+            (self._loop_exec.submit(job), len(self._loop_perm_log))
+        )
+
+    def _loop_poll(self, block: bool = False) -> bool:
+        """Apply any finished loop verdicts (oldest first, preserving the
+        detector's ordering). Non-blocking unless `block`."""
+        closed = False
+        while self._loop_verdicts:
+            fut, epoch = self._loop_verdicts[0]
+            if not (block or fut.done()):
+                break
+            self._loop_verdicts.popleft()
+            closed |= self._loop_apply(fut.result(), epoch)
+        if self._loop_verdicts is not None and not self._loop_verdicts:
+            self._loop_perm_log.clear()  # nothing in flight references it
+        return closed
+
+    def _loop_apply(self, verdict, epoch: int) -> bool:
+        """Apply a verified closure to the CURRENT map: remap the verdict's
+        keyframe indices through any compactions that landed since it was
+        submitted, then dispatch the compiled correction (+ optional global
+        BA) — one dispatch, no host blocking."""
+        if not verdict.result.detected:
+            return False
+        k_new, cand = verdict.k_new, verdict.result.candidate
+        for surv, _n_after in self._loop_perm_log[epoch:]:
+            surv = list(surv)
+            if k_new not in surv or cand not in surv:
+                return False  # a party to the loop was culled — drop verdict
+            k_new, cand = surv.index(k_new), surv.index(cand)
+        verdict = verdict._replace(
+            k_new=k_new, result=verdict.result._replace(candidate=cand)
+        )
+        self.engine.map, res = self.loop_closer.apply(
+            self.engine.map, verdict, cam=self.engine.cam
+        )
+        if res.detected:
+            self._loop_resync_pose()
+        return res.detected
+
+    def _loop_resync_pose(self) -> None:
+        """The correction moved every keyframe: resync the tracker pose to
+        the (corrected) newest keyframe so tracking continues in the
+        corrected frame."""
+        from ..geometry.se3 import SE3
+
+        kk = self.engine.map.n_kf - 1
+        self.engine.pose = SE3(self.engine.map.kf_R[kk], self.engine.map.kf_t[kk])
+
+    def _loop_drain(self) -> bool:
+        """Block until every in-flight verification lands and apply the
+        verdicts (end of stream / before host-side BoW reads)."""
+        if self._loop_exec is None:
+            return False
+        return self._loop_poll(block=True)
 
     def _bow_relocalize(self):
         """Relocalization after tracking loss: BoW candidates from the
@@ -611,6 +714,9 @@ class VSLAMTracker(TrackerBase):
         feats = getattr(self.engine, "last_feats", None)
         if feats is None:
             return
+        # quiesce the loop worker: the BoW database must not grow under the
+        # host-side scoring read below
+        self._loop_drain()
         from ..loop.vocab import bow_vector, bow_similarity
 
         v = bow_vector(self.loop_closer.vocab, feats.desc, feats.valid)
@@ -768,5 +874,9 @@ class VSLAMTracker(TrackerBase):
         save_map(self.engine.map, path)
 
     def stop(self):
+        self._loop_drain()
+        if self._loop_exec is not None:
+            self._loop_exec.shutdown(wait=True)
+            self._loop_exec = None
         if self.cfg["map_file"]:
             self.save_map(self.cfg["map_file"])
