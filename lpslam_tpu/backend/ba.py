@@ -333,12 +333,17 @@ def _local_ba_impl(m, cam: PinholeCamera, window: int, iters: int,
     member = jnp.zeros((P,), bool).at[jnp.maximum(obs_lm.reshape(-1), 0)].max(
         (obs_lm.reshape(-1) >= 0)
     )
-    # members first (argsort of ~member is stable: member ids keep index order)
-    sel = jnp.argsort(~member)[:Pw]
-    sel_member = member[sel]
-    inv = jnp.full((P,), -1, jnp.int32).at[sel].set(
-        jnp.where(sel_member, jnp.arange(Pw, dtype=jnp.int32), -1)
-    )
+    # sort-free stable compaction: a cumsum gives each member its output
+    # slot in index order, then ONE scatter builds the selection (a full
+    # argsort over the store capacity P costs tens of ms on TPU — the sort
+    # was most of local BA's fixed overhead)
+    pos = jnp.cumsum(member.astype(jnp.int32)) - 1            # (P,) slot ids
+    inv = jnp.where(member, pos, -1).astype(jnp.int32)        # lm -> compact
+    inv = jnp.where(inv < Pw, inv, -1)                        # overflow drops
+    sel = jnp.zeros((Pw,), jnp.int32).at[
+        jnp.where(inv >= 0, inv, Pw)
+    ].set(jnp.arange(P, dtype=jnp.int32), mode="drop")        # compact -> lm
+    sel_member = jnp.arange(Pw) < jnp.minimum(pos[-1] + 1, Pw)
     obs_lm_c = jnp.where(obs_lm >= 0, inv[jnp.maximum(obs_lm, 0)], -1)
 
     prob = BAProblem(
