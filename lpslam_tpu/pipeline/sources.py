@@ -321,6 +321,12 @@ class ZedOpenCaptureSource(ImageSourceBase):
         .optional("auto_gain", bool, False)
         .optional("open_retries", int, 5)
         .optional("baseline", float, 0.12)
+        # read the camera MCU's 400 Hz HID sensor stream (IMU/mag/baro) and
+        # publish IMU samples on the sensor queue — the vendored driver's
+        # SensorCapture module (zed-open-capture/src/sensorcapture.cpp);
+        # needs a ZED 2-class camera and hidraw access
+        .optional("sensors", bool, False)
+        .optional("sensors_hid_path", str, "")   # override /dev/hidrawN
     )
 
     def __init__(self, config: Optional[dict] = None):
@@ -328,6 +334,7 @@ class ZedOpenCaptureSource(ImageSourceBase):
         self._cap = None
         self._last_ts = 0.0
         self._frame_number = 0
+        self._sensors = None
 
     def start(self, camera_queue: BoundedQueue):
         import cv2
@@ -400,8 +407,22 @@ class ZedOpenCaptureSource(ImageSourceBase):
             CameraQueueEntry(timestamp=now, image=left, image_second=right)
         )
 
+    def start_sensor(self, sensor_queue: BoundedQueue):
+        super().start_sensor(sensor_queue)
+        if self.cfg["sensors"]:
+            from .zed_hid import ZedSensorCapture
+
+            self._sensors = ZedSensorCapture(
+                path=self.cfg["sensors_hid_path"] or None
+            )
+            self._sensors.attach(sensor_queue)
+            self._sensors.start()
+
     def stop(self):
         super().stop()
+        if self._sensors is not None:
+            self._sensors.stop()
+            self._sensors = None
         if self._cap is not None:
             self._cap.release()
             self._cap = None
