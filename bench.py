@@ -34,7 +34,7 @@ import numpy as np
 # 16 and 32 measure identically (the remote-tunnel upload bandwidth
 # ~27 ms/MB is the binding constraint at ~8 ms/frame of raw uint8 ingest;
 # compute overlaps underneath it) — prefer the lower-latency chunk
-CHUNK = 16
+CHUNK = int(__import__("os").environ.get("BENCH_CHUNK", "16"))
 
 
 def main():
@@ -88,17 +88,26 @@ def main():
         t += CHUNK
     ct.sync()
 
-    # measurement: chunked loop with upload/compute overlap — stage chunk
-    # k+1 while chunk k scans
+    # measurement: chunked loop with a dedicated IO thread staging chunks
+    # TWO ahead of the scan — host->device serialization (the dominant
+    # per-chunk host cost through a remote-attached chip) overlaps the
+    # device compute instead of serializing with the dispatch thread
+    from concurrent.futures import ThreadPoolExecutor
+
+    io = ThreadPoolExecutor(max_workers=1, thread_name_prefix="chunk-io")
+    DEPTH = 3
     t_meas0 = time.perf_counter()
     chunk_times = []
-    nxt = ct.prefetch(frames_u8[t:t + CHUNK])
+    inflight = []
+    for _ in range(DEPTH):
+        inflight.append(io.submit(ct.prefetch, frames_u8[t:t + CHUNK]))
+        t += CHUNK
     done = 0
     while done < n_meas:
-        cur = nxt
-        t += CHUNK
+        cur = inflight.pop(0).result()
         if t + CHUNK <= len(frames_u8):
-            nxt = ct.prefetch(frames_u8[t:t + CHUNK])
+            inflight.append(io.submit(ct.prefetch, frames_u8[t:t + CHUNK]))
+            t += CHUNK
         tc = time.perf_counter()
         ct.process_chunk(cur)
         chunk_times.append(time.perf_counter() - tc)
@@ -106,6 +115,7 @@ def main():
     ct.sync()  # blocks until the full pipeline drains
     wall = time.perf_counter() - t_meas0
     fps = done / wall
+    io.shutdown(wait=False)
 
     sts, n_inl, _, _, kf_ins = ct.collect()
     ct_ms = np.asarray(chunk_times) / CHUNK * 1e3

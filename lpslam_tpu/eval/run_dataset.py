@@ -126,13 +126,17 @@ def main(argv=None):
     elif args.bench:
         from ..io.benchmark import SyntheticBenchmark
 
+        nf = args.max_frames or 600
         ds = SyntheticBenchmark(
-            num_frames=args.max_frames or 600,
+            num_frames=nf,
             h=args.height, w=args.width, seed=args.seed,
             stereo=args.mode == "stereo",
             with_depth=args.mode == "rgbd",
             distortion=not args.no_distortion,
-            turns=args.turns,
+            # --turns is calibrated for the 600-frame design length; scale
+            # with the actual frame count so truncated runs keep the same
+            # PER-FRAME motion rate instead of spinning the orbit faster
+            turns=args.turns * nf / 600.0,
         )
         intr = ds.intr
     else:

@@ -60,6 +60,7 @@ class ChunkCarry(NamedTuple):
     status: jnp.ndarray            # () int32: TRACKING / LOST
     frame_id: jnp.ndarray          # () int32
     last_kf_frame: jnp.ndarray     # () int32
+    last_ba_frame: jnp.ndarray     # () int32 — scan BA rate-cap cursor
     inliers_at_last_kf: jnp.ndarray  # () int32
 
 
@@ -217,15 +218,22 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
 
         m2 = jax.lax.cond(kf, _insert, lambda m: m, tr.map)
 
-        # windowed local BA rides the keyframe cond INSIDE the scan — the
-        # same per-keyframe cadence as the host path (and the engine's
-        # mapping thread), so chunked and per-frame runs optimize the map
-        # equally often. Non-keyframe frames pay nothing under lax.cond.
+        # windowed local BA rides the keyframe cond INSIDE the scan, rate-
+        # capped by scan_ba_min_interval: when keyframes arrive faster, the
+        # intermediate ones skip their BA and the next due keyframe's window
+        # covers them (the mapping thread's abort_local_BA behavior under
+        # keyframe backlog). Non-keyframe frames pay nothing under lax.cond.
+        ba_due = kf
         if mapping_enabled and ba_in_scan and cfg.local_ba_window > 0:
             from ..backend.ba import local_ba
 
+            if cfg.scan_ba_min_interval > 0:
+                ba_due = kf & (
+                    carry.frame_id - carry.last_ba_frame
+                    >= cfg.scan_ba_min_interval
+                )
             m2 = jax.lax.cond(
-                kf,
+                ba_due,
                 lambda mm: local_ba(
                     mm, cam, window=cfg.local_ba_window,
                     iters=cfg.local_ba_iters,
@@ -251,6 +259,9 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
             status=status.astype(jnp.int32),
             frame_id=carry.frame_id + 1,
             last_kf_frame=jnp.where(kf, carry.frame_id, carry.last_kf_frame),
+            last_ba_frame=jnp.where(
+                ba_due, carry.frame_id, carry.last_ba_frame
+            ).astype(jnp.int32),
             inliers_at_last_kf=jnp.where(
                 kf, jnp.maximum(tr.n_inliers, 1), carry.inliers_at_last_kf
             ).astype(jnp.int32),
@@ -367,6 +378,10 @@ class ChunkedTracker:
         # `do_compact` flag, not a recompile.
         self.boundary_compact = boundary_compact and engine.cfg.kf_culling
         self.compact_enabled = True
+        # redundancy-quality culls run every Nth boundary; capacity-safety
+        # culls fire whenever the device-side n_kf nears the wall
+        self.compact_period = 8
+        self._boundary_count = 0
         if isinstance(engine, RGBDTracker):
             mode, extra = "rgbd", dict(
                 max_depth=engine.max_depth, min_depth=engine.min_depth
@@ -411,6 +426,9 @@ class ChunkedTracker:
             status=jnp.int32(int(e.status)),
             frame_id=jnp.int32(e.frame_id),
             last_kf_frame=jnp.int32(e.last_kf_frame),
+            # the host path BAs every keyframe, so the map is freshly
+            # optimized as of the last keyframe
+            last_ba_frame=jnp.int32(e.last_kf_frame),
             inliers_at_last_kf=jnp.int32(e.inliers_at_last_kf),
         )
 
@@ -462,9 +480,23 @@ class ChunkedTracker:
         # same as the host path.
         if self.boundary_compact:
             max_cull = int(n_frames) // max(e.cfg.kf_min_interval, 1) + 1
+            # gate the cull/compaction dispatch on a DEVICE predicate:
+            # capacity safety fires when the store is within one chunk's
+            # worth of insertions of the wall (n_kf is a device scalar — no
+            # host sync), and a periodic host-side counter keeps the
+            # redundancy-quality cull running at a low duty cycle. Chunks
+            # far from capacity then pay only the cond's identity branch
+            # (~free) instead of ~19 ms of cull passes per chunk.
+            self._boundary_count += 1
+            periodic = (self._boundary_count % self.compact_period) == 0
+            kf_cap = e.map.kf_valid.shape[0]
+            near_cap = e.map.n_kf >= kf_cap - (2 * max_cull + 2)
+            do_compact = jnp.asarray(self.compact_enabled) & (
+                near_cap | jnp.asarray(periodic)
+            )
             res = _chunk_boundary(
                 e.map, e.cam, jnp.any(out.kf_inserted),
-                jnp.asarray(self.compact_enabled),
+                do_compact,
                 0, 0, False,
                 max_cull, e.cfg.kf_cull_keep_latest,
                 e.cfg.kf_cull_redundancy, e.cfg.kf_cull_min_other_obs,

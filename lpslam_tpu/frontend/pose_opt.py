@@ -107,7 +107,11 @@ def pose_only_optimize(
         H = jnp.einsum("nik,n,nil->kl", J, w, J)
         b = jnp.einsum("nik,n,ni->k", J, w, r)
         H = H + damping * jnp.eye(6, dtype=H.dtype)
-        dx = -jnp.linalg.solve(H, b)
+        # closed-form SPD solve (3x3 block Schur + adjugate) — the LAPACK
+        # LU path costs ~0.1-0.5 ms PER 6x6 solve on TPU, x10 per frame
+        from ..kernels.linalg import solve_spd_6x6
+
+        dx = -solve_spd_6x6(H, b)
         new_pose = se3_compose(se3_exp(dx), pose)
         return new_pose, None
 

