@@ -74,6 +74,39 @@ def build_problem(C: int, Pn: int, N: int, seed: int = 0):
     return prob
 
 
+def comm_model(Pn: int, iters: int, cg_iters: int, n_hosts: int,
+               t_compute_1dev_s: float, ar_bw_gbs: float = 45.0,
+               latency_us: float = 2.0) -> dict:
+    """Analytic communication/time model for the keyframe-sharded global BA.
+
+    Wire volume per LM iteration (dist/sharded_map.py): psum of Hpp (P,3,3
+    f32) + bp (P,3) + cost scalar before the CG solve; per CG iteration one
+    (P,3) psum (apply_Hpc inside S_mv) + two scalar psums (pSp, rz); one
+    more (P,3) psum for the landmark back-substitution. A ring all-reduce
+    moves 2(n-1)/n x payload per device. Compute shards linearly along the
+    keyframe axis (validated on-chip by timing the per-device SHARE of the
+    problem — see compute_scaling rows). No compute/comm overlap is assumed
+    (conservative: XLA can overlap the CG psums with local einsums)."""
+    f4 = 4
+    bytes_per_lm = (Pn * 9 + Pn * 3) * f4 + cg_iters * Pn * 3 * f4 + Pn * 3 * f4
+    colls_per_lm = 3 + 3 * cg_iters + 1
+    total_bytes = iters * bytes_per_lm
+    wire = total_bytes * 2.0 * (n_hosts - 1) / max(n_hosts, 1)
+    t_comm = wire / (ar_bw_gbs * 1e9) + iters * colls_per_lm * latency_us * 1e-6
+    t_comp = t_compute_1dev_s / n_hosts
+    t_total = t_comp + t_comm
+    speedup = t_compute_1dev_s / t_total
+    return {
+        "hosts": n_hosts,
+        "wire_MB_per_device": round(wire / 1e6, 3),
+        "t_compute_s": round(t_comp, 5),
+        "t_comm_s": round(t_comm, 5),
+        "t_total_s": round(t_total, 5),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / n_hosts, 3),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--keyframes", type=int, default=256)
@@ -84,6 +117,13 @@ def main(argv=None):
     p.add_argument("--cg-iters", type=int, default=15)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--json-out")
+    # --model: measure the single-chip compute term (full problem + the
+    # per-device SHARES at 2/4/8 hosts) and emit predicted multi-host
+    # efficiency from the analytic wire volume vs ICI bandwidth
+    p.add_argument("--model", action="store_true")
+    p.add_argument("--ici-gbs", type=float, default=45.0,
+                   help="all-reduce bandwidth per device (v5e ICI class)")
+    p.add_argument("--latency-us", type=float, default=2.0)
     args = p.parse_args(argv)
 
     import jax
@@ -98,6 +138,9 @@ def main(argv=None):
     n_avail = len(jax.devices())
     platform = jax.devices()[0].platform
     virtual = platform == "cpu" and n_avail > 1
+
+    if args.model:
+        return run_model(args, cam, platform)
 
     rows = []
     ref_t = None
@@ -147,6 +190,80 @@ def main(argv=None):
             "correctness signal" if virtual else "real-device timings"
         ),
         "rows": rows,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    return 0
+
+
+def run_model(args, cam, platform: str) -> int:
+    """Measure the single-chip compute term and emit the analytic
+    communication model (BASELINE target 3 evidence with one chip).
+
+    Compute-half validation: the sharded solver's per-device work is its
+    keyframe SHARE of the problem, so timing the full problem at C, C/2,
+    C/4, C/8 keyframes on ONE chip measures exactly the per-device compute
+    term a 1/2/4/8-host mesh would run between collectives. Linearity of
+    those timings validates t_comp(n) = t_comp(1)/n."""
+    import jax
+
+    from ..dist import make_mesh
+    from ..dist.sharded_map import sharded_global_ba_problem
+
+    mesh = make_mesh(1)
+    compute_rows = []
+    t1 = None
+    for frac in (1, 2, 4, 8):
+        Cn = max(args.keyframes // frac, 4)
+        prob = build_problem(Cn, args.landmarks, args.obs)
+        res = sharded_global_ba_problem(prob, cam, mesh=mesh,
+                                        iters=args.iters,
+                                        cg_iters=args.cg_iters)
+        jax.block_until_ready(res.cam_t)
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            res = sharded_global_ba_problem(prob, cam, mesh=mesh,
+                                            iters=args.iters,
+                                            cg_iters=args.cg_iters)
+            jax.block_until_ready(res.cam_t)
+            best = min(best, time.perf_counter() - t0)
+        if t1 is None:
+            t1 = best
+        compute_rows.append({
+            "keyframes_per_device": Cn,
+            "hosts_equivalent": frac,
+            "time_s": round(best, 4),
+            "linear_prediction_s": round(t1 / frac, 4),
+            "linearity": round((t1 / frac) / best, 3),
+        })
+
+    model_rows = [
+        comm_model(args.landmarks, args.iters, args.cg_iters, n, t1,
+                   ar_bw_gbs=args.ici_gbs, latency_us=args.latency_us)
+        for n in (1, 2, 4, 8)
+    ]
+    out = {
+        "problem": {
+            "keyframes": args.keyframes, "landmarks": args.landmarks,
+            "obs_per_kf": args.obs, "iters": args.iters,
+            "cg_iters": args.cg_iters,
+        },
+        "platform": platform,
+        "assumptions": {
+            "allreduce_bw_GBs_per_device": args.ici_gbs,
+            "collective_latency_us": args.latency_us,
+            "note": ("wire volume counted from dist/sharded_map.py psums: "
+                     "per LM iter Hpp (P,3,3) + bp (P,3) + cost, per CG "
+                     "iter one (P,3) + 2 scalars, one (P,3) back-sub; ring "
+                     "all-reduce factor 2(n-1)/n; zero compute/comm overlap "
+                     "(conservative)"),
+        },
+        "measured_compute": compute_rows,
+        "predicted": model_rows,
     }
     line = json.dumps(out)
     print(line)

@@ -78,6 +78,51 @@ def test_async_loop_closes_with_sync_quality():
     assert tr_a._loop_exec is None
 
 
+@pytest.mark.slow
+def test_verification_latency_off_the_frame_path(monkeypatch):
+    """A slow loop verification must not stall the frames that trigger it:
+    with loop_async on, keyframe frames submit the job and return; the
+    verdict lands on a later frame (or at flush). Sync mode would pay the
+    full verification latency inside process_image on every new keyframe."""
+    import time as _time
+    from lpslam_tpu.loop.detector import LoopCloser
+
+    DELAY = 2.5
+    calls = []
+    orig_verify = LoopCloser.verify
+
+    def slow_verify(self, m, k):
+        _time.sleep(DELAY)
+        calls.append(k)
+        return orig_verify(self, m, k)
+
+    monkeypatch.setattr(LoopCloser, "verify", slow_verify)
+
+    seq = make_sequence(num_frames=36, h=240, w=320, seed=4, motion="orbit",
+                        fx=230.0)
+    cam = PinholeCamera.make(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
+    tr = VSLAMTracker(cam, {
+        "mode": "mono", "keypoints": 384, "max_keyframes": 32,
+        "max_landmarks": 8192, "loop_closure": True, "loop_async": True,
+        "vocab_file": "/nonexistent/vocab",
+    })
+    tr._loop_cfg = lambda: LoopConfig(min_gap=6, min_score=0.12, consistency=1)
+
+    frame_walls = []
+    for t in range(len(seq.images)):
+        t0 = _time.monotonic()
+        tr.process_image(CameraQueueEntry(timestamp=float(t) / 20.0,
+                                          image=seq.images[t]))
+        frame_walls.append(_time.monotonic() - t0)
+    tr.flush()
+    tr.stop()
+
+    assert len(calls) >= 2, "no verification jobs ran"
+    # no frame waited for a verification (generous CPU-noise margin, still
+    # far below the injected delay)
+    assert max(frame_walls) < DELAY * 0.8, max(frame_walls)
+
+
 class _ApplySpy:
     def __init__(self):
         self.calls = []
