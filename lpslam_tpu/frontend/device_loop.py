@@ -150,15 +150,13 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
         return z, ok
 
     def step(carry: ChunkCarry, x):
-        if mode == "mono":
-            img = x
-        elif mode == "stereo":
-            img = x[0]
-        else:  # rgbd: x = (gray, depth)
-            img = x[0]
-        feats = extract_orb(img, cfg.orb)
-        if mask is not None:
-            feats = _apply_mask(feats, mask)
+        # x = (feats, raw): ORB extraction is hoisted OUT of the sequential
+        # scan and vmapped over the whole chunk (scan_chunk below) — feature
+        # extraction has no dependence on tracking state, so running it
+        # per-frame inside the scan serialized ~half the chunk's compute at
+        # batch-1 shapes. raw carries the frames only for the modes whose
+        # keyframe branch needs pixels again (stereo right eye, rgbd depth).
+        feats, raw = x
 
         pose = SE3(carry.pose_R, carry.pose_t)
         vel = SE3(carry.vel_R, carry.vel_t)
@@ -207,7 +205,7 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
                 from .stereo import insert_keyframe_depth
                 from .tracker import triangulate_new_landmarks
 
-                z, dok = _depth_for_keyframe(x, feats)
+                z, dok = _depth_for_keyframe(raw, feats)
                 m2_ = insert_keyframe_depth(
                     m, new_pose, cam, feats, tr.kp_lm_idx, z, dok,
                     carry.frame_id,
@@ -268,6 +266,12 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
         )
         return new_carry, out
 
+    def _extract(img):
+        feats = extract_orb(img, cfg.orb)
+        if mask is not None:
+            feats = _apply_mask(feats, mask)
+        return feats
+
     @jax.jit
     def scan_chunk(carry: ChunkCarry, frames):
         from ..kernels.remap import remap_bilinear
@@ -276,6 +280,7 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
             xs = frames.astype(jnp.float32)
             if rmap is not None:
                 xs = remap_bilinear(xs, rmap)
+            left = xs
         elif mode == "stereo":
             f = frames.astype(jnp.float32)      # (B, 2, H, W)
             left, right = f[:, 0], f[:, 1]
@@ -290,7 +295,13 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
                 gray = remap_bilinear(gray, rmap)
                 depth = remap_bilinear(depth, rmap)
             xs = jnp.stack([gray, depth], axis=1)  # (B, 2, H, W)
-        return jax.lax.scan(step, carry, xs)
+            left = gray
+        # batched extraction ahead of the sequential scan: per-frame ORB has
+        # no dependence on tracking state, so it runs as ONE vmapped program
+        # over the chunk (full-batch convs/matmuls on the MXU) instead of
+        # B batch-1 instances serialized inside the scan
+        feats_all = jax.vmap(_extract)(left)
+        return jax.lax.scan(step, carry, (feats_all, xs))
 
     return scan_chunk
 

@@ -64,7 +64,7 @@ class TrackerConfig(NamedTuple):
     tri_min_depth: float = 0.05
     tri_max_depth: float = 1e4
     local_ba_window: int = 6
-    local_ba_iters: int = 5
+    local_ba_iters: int = 6
     # covisibility-window local BA: the two older keyframes most covisible
     # with the newest join (and anchor) the window; falls back to temporal
     # anchors when no older covisible keyframes exist yet
@@ -75,7 +75,7 @@ class TrackerConfig(NamedTuple):
     # engine's mapping thread ABORTING local BA when its keyframe queue
     # backs up (openvslam mapping_module abort_local_BA). 0 = BA on every
     # keyframe (the host path's cadence).
-    scan_ba_min_interval: int = 16
+    scan_ba_min_interval: int = 8
     # keyframe culling + compaction (engine mapping-module map maintenance):
     # after each keyframe insertion, keyframes whose landmarks are seen by
     # >= kf_cull_min_other_obs other keyframes at >= kf_cull_redundancy

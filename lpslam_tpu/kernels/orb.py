@@ -41,9 +41,26 @@ class OrbParams(NamedTuple):
     fast_min_threshold: float = 7.0
     cell: int = 16  # grid cell for spatially-uniform selection (0 = global)
     use_pallas: bool = False  # fused Pallas FAST+NMS kernel (TPU)
-    # True: 12-degree angle-binned BRIEF sampled by MXU matmuls (~10x faster
-    # on TPU than the exact-rotation gather; classic-ORB-style quantization)
-    binned_brief: bool = True
+    # Descriptor path (all share the same 256-pair pattern):
+    #   "polar"  — polar-grid resampled patch, 12-degree derotation applied
+    #              as an exact integer shift on the angle axis via a tiny
+    #              real-DFT phase rotation; ~10x fewer matmul FLOPs than
+    #              "binned" (no all-bins intermediate). Orientation comes
+    #              from per-patch disc moments (two 1024x1 matmuls) instead
+    #              of whole-image moment maps. Default.
+    #   "binned" — classic one-hot matmul over ALL 30 angle bins + per-
+    #              keypoint bin selection (round 1-3 default).
+    #   "gather" — same binned pattern via a flat 512-tap image gather;
+    #              measured SLOWER than "binned" on v5e (see PERF.md) —
+    #              kept as the honest negative result + fallback.
+    #   "exact"  — continuous rotation, per-keypoint gather (reference
+    #              semantics, slowest).
+    brief_mode: str = "polar"
+    # Patch extraction for the polar path: "auto" uses the Pallas kernel
+    # (kernels/pallas_patch.py: VMEM-resident image + aligned loads +
+    # dynamic rolls, ~5x the XLA gather) when tracing for a TPU backend and
+    # the XLA gather elsewhere; "on"/"off" force it.
+    pallas_patches: str = "auto"
 
 
 class OrbFeatures(NamedTuple):
@@ -196,12 +213,15 @@ _OFFSET_TABLE = _binned_offset_table()
 def steered_brief_gather(blurred, xy, angle):
     """Angle-binned steered BRIEF via ONE flat 512-tap gather per keypoint.
 
-    Bit-identical pattern to `steered_brief_binned` (same 12-degree
-    quantization) but samples the taps directly instead of slicing 32x32
-    patches and matmul-selecting: half the gathered elements, no (N, 30,
-    512) intermediate. Measured ~3x faster than the patch+matmul path on
-    v5e (the patch dynamic-slice gather dominated extract_orb). Keypoints
-    respect EDGE_MARGIN=16 >= |offset|, so taps never leave the image."""
+    Same tap pattern as `steered_brief_binned` (same 12-degree quantization;
+    outputs agree up to bf16 rounding of near-equal taps) but samples taps
+    directly instead of slicing 32x32 patches and matmul-selecting.
+
+    MEASURED SLOWER than the binned matmul on v5e (3.8 vs 1.2 ms/frame at
+    700 kp batched x16 — flat image gathers don't vectorize on TPU; the
+    one-hot MXU matmul wins despite 30x the FLOPs; see PERF.md). Kept as an
+    honest negative result and low-memory fallback. Keypoints respect
+    EDGE_MARGIN=16 >= |offset|, so taps never leave the image."""
     h, w = blurred.shape
     bins = jnp.mod(
         jnp.round((angle + np.pi) * (N_ANGLE_BINS / (2 * np.pi))).astype(jnp.int32),
@@ -213,6 +233,185 @@ def steered_brief_gather(blurred, xy, angle):
     fy = cy[:, None] + offs[..., 0]
     fx = cx[:, None] + offs[..., 1]
     vals = blurred.reshape(-1)[fy * w + fx]  # (N, 512)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    return jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
+
+
+# --- polar derotation BRIEF -------------------------------------------------
+#
+# The binned path pays for rotation by computing the sample matmul for ALL 30
+# bins and discarding 29 (a (N, 30, 512) intermediate, ~22 GFLOP/frame at the
+# 1200-keypoint operating point). The polar path makes rotation itself free:
+#
+#   1. resample the 32x32 patch onto a fixed polar grid (R rings x T angles,
+#      T a multiple of the 30 bins) — ONE bin-independent one-hot matmul;
+#   2. a rotation by bin b is then an EXACT integer shift of 2b positions
+#      along the angle axis (no resampling error beyond step 1's grid
+#      quantization), applied per keypoint as a phase rotation of the ring
+#      rows' real-DFT coefficients (elementwise VPU work);
+#   3. the 512 pattern taps live at fixed (ring, angle) grid positions, so
+#      tap evaluation + inverse DFT fuse into one fixed matmul.
+#
+# Quantization: the unrotated pattern is snapped once to (integer ring,
+# T-grid angle, integer pixel) — comparable to the binned path's
+# (integer pixel after rotation, 12-degree bin) snapping; descriptors are
+# self-consistent within a map/vocabulary like the binned ones.
+
+_T_POLAR = 60          # angle grid; 60/30 bins -> shift step 2 per bin
+_R_POLAR = 14          # integer rings 0..13 (pattern radius <= 13)
+_K_FREQ = _T_POLAR // 2 + 1  # real-DFT frequencies
+
+
+def _polar_tables():
+    pat = np.asarray(_make_pattern())                       # (256, 2, 2)
+    pts = np.concatenate([pat[:, 0, :], pat[:, 1, :]], 0)   # (512, 2) xy
+    r = np.linalg.norm(pts, axis=1)
+    th = np.arctan2(pts[:, 1], pts[:, 0])
+    ring = np.clip(np.round(r).astype(int), 0, _R_POLAR - 1)        # (512,)
+    jq = np.round((th + np.pi) / (2 * np.pi / _T_POLAR)).astype(int) % _T_POLAR
+
+    # patch pixel -> polar grid sample (one-hot): (1024, R*T)
+    sel = np.zeros((_PATCH * _PATCH, _R_POLAR * _T_POLAR), np.float32)
+    for i in range(_R_POLAR):
+        for j in range(_T_POLAR):
+            thj = j * 2 * np.pi / _T_POLAR - np.pi
+            px = int(np.clip(np.round(i * np.cos(thj)), -_PB, _PB - 1))
+            py = int(np.clip(np.round(i * np.sin(thj)), -_PB, _PB - 1))
+            sel[(py + _PB) * _PATCH + (px + _PB), i * _T_POLAR + j] = 1.0
+
+    # forward real DFT along the angle axis: a_k = f@C (= Re F), b_k = f@S
+    # (= -Im F); shifting f by s rotates (a_k, b_k) by phi = 2*pi*k*s/T
+    jj = np.arange(_T_POLAR)[:, None]
+    kk = np.arange(_K_FREQ)[None, :]
+    C = np.cos(2 * np.pi * jj * kk / _T_POLAR).astype(np.float32)   # (T, K)
+    S = np.sin(2 * np.pi * jj * kk / _T_POLAR).astype(np.float32)
+
+    # tap evaluation (inverse DFT at the taps' fixed grid angles), fused with
+    # the per-ring selection: vals = [a'|b'] @ ITAP with
+    #   ITAP_a[(r,k), q] = [r == ring_q] * (w_k/T) * cos(2*pi*k*jq_q/T)
+    #   ITAP_b[(r,k), q] = [r == ring_q] * (w_k/T) * sin(2*pi*k*jq_q/T)
+    w = np.full(_K_FREQ, 2.0)
+    w[0] = 1.0
+    w[-1] = 1.0  # Nyquist (T even)
+    itap = np.zeros((2 * _R_POLAR * _K_FREQ, 512), np.float32)
+    for q in range(512):
+        kq = np.arange(_K_FREQ)
+        base = ring[q] * _K_FREQ
+        ang = 2 * np.pi * kq * jq[q] / _T_POLAR
+        itap[base + kq, q] = (w / _T_POLAR) * np.cos(ang)
+        itap[_R_POLAR * _K_FREQ + base + kq, q] = (w / _T_POLAR) * np.sin(ang)
+
+    # exact-shift reference tables (for tests): flat polar index per (bin, q)
+    shift = (2 * np.arange(N_ANGLE_BINS) - N_ANGLE_BINS)            # (30,)
+    jrot = (jq[None, :] + shift[:, None]) % _T_POLAR                # (30, 512)
+    flat_ref = ring[None, :] * _T_POLAR + jrot                      # (30, 512)
+    return (
+        jnp.asarray(sel),
+        jnp.asarray(C),
+        jnp.asarray(S),
+        jnp.asarray(itap),
+        jnp.asarray(flat_ref.astype(np.int32)),
+    )
+
+
+_POLAR_SEL, _DFT_C, _DFT_S, _ITAP, _POLAR_REF_IDX = _polar_tables()
+
+# disc-moment weights for per-patch orientation: same radius-15 disc as
+# orientation_maps, evaluated from the 32x32 patch (two 1024-dim dot
+# products per keypoint instead of whole-image moment maps)
+_dxg, _dyg = np.meshgrid(np.arange(-_PB, _PB), np.arange(-_PB, _PB))
+_disc = (_dxg**2 + _dyg**2) <= PATCH_RADIUS**2
+_MOM_W = jnp.asarray(
+    np.stack([(_dxg * _disc).reshape(-1), (_dyg * _disc).reshape(-1)], 1)
+    .astype(np.float32)
+)
+
+
+def extract_patches(blurred, xy):
+    """(N, 1024) 32x32 patches around rounded keypoint centers. Keypoints
+    respect EDGE_MARGIN=16 so the window never clips for valid keypoints."""
+    h, w = blurred.shape
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - _PB, 0, w - _PATCH)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - _PB, 0, h - _PATCH)
+    return jax.vmap(
+        lambda y0, x0: jax.lax.dynamic_slice(blurred, (y0, x0), (_PATCH, _PATCH))
+    )(cy, cx).reshape(-1, _PATCH * _PATCH)
+
+
+def patch_orientation(patches):
+    """Intensity-centroid angle from per-keypoint patches: identical to the
+    orientation_maps value at interior keypoints (same radius-15 disc), at
+    ~zero cost (a (N,1024)x(1024,2) matmul)."""
+    m = jnp.dot(patches, _MOM_W, precision=jax.lax.Precision.HIGHEST)
+    return jnp.arctan2(m[:, 1], m[:, 0])
+
+
+def _bin_of(angle):
+    return jnp.mod(
+        jnp.round((angle + np.pi) * (N_ANGLE_BINS / (2 * np.pi))).astype(jnp.int32),
+        N_ANGLE_BINS,
+    )
+
+
+def polar_coeffs(patches):
+    """Ring-wise real-DFT coefficients (a, b) of the polar-resampled patch.
+
+    patches: (N, 1024). Returns a, b: (N, R, K). The POLAR_SEL matmul is a
+    one-hot selection — exact under bf16 up to pixel-value rounding (MXU
+    DEFAULT precision); the small DFT matmuls run at HIGHEST so coefficient
+    magnitudes (DC ~ T*mean) don't lose tap-level precision.
+    """
+    n = patches.shape[0]
+    pol = jnp.dot(
+        patches, _POLAR_SEL, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(n, _R_POLAR, _T_POLAR)
+    a = jnp.dot(pol, _DFT_C, precision=jax.lax.Precision.HIGHEST)
+    b = jnp.dot(pol, _DFT_S, precision=jax.lax.Precision.HIGHEST)
+    return a, b
+
+
+def polar_brief_from_patches(patches, angle):
+    """256-bit steered BRIEF via polar derotation (see module comment)."""
+    n = patches.shape[0]
+    a, b = polar_coeffs(patches)
+    s = (2 * _bin_of(angle) - N_ANGLE_BINS).astype(jnp.float32)     # (N,)
+    phi = (2 * np.pi / _T_POLAR) * s[:, None] * jnp.arange(_K_FREQ)  # (N, K)
+    cphi = jnp.cos(phi)[:, None, :]
+    sphi = jnp.sin(phi)[:, None, :]
+    a2 = a * cphi + b * sphi
+    b2 = b * cphi - a * sphi
+    coef = jnp.concatenate([a2.reshape(n, -1), b2.reshape(n, -1)], 1)
+    vals = jnp.dot(coef, _ITAP, precision=jax.lax.Precision.HIGHEST)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    return jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
+
+
+def steered_brief_polar(blurred, xy, angle):
+    """Polar-derotation BRIEF from the image (convenience wrapper)."""
+    return polar_brief_from_patches(extract_patches(blurred, xy), angle)
+
+
+def polar_tap_values_reference(patches, angle):
+    """Exact-shift tap values for the polar descriptor (gather formulation,
+    slow on TPU — tests only): (N, 512) sampled values, taps [0:256] = point
+    p, [256:512] = point q of each pair, bit-for-bit the polar path's
+    semantics without the DFT round trip."""
+    n = patches.shape[0]
+    pol = jnp.dot(
+        patches, _POLAR_SEL, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(n, _R_POLAR * _T_POLAR)
+    idx = _POLAR_REF_IDX[_bin_of(angle)]                            # (N, 512)
+    return jnp.take_along_axis(pol, idx, axis=1)
+
+
+def polar_brief_reference(patches, angle):
+    """Exact-shift reference descriptor (tests only). NOTE: pairs whose two
+    taps are exactly equal (flat patches, or both taps quantized to the same
+    pixel) produce an arbitrary bit; the DFT path resolves such ties by
+    ~1e-5 reconstruction noise instead — compare with a tie mask."""
+    vals = polar_tap_values_reference(patches, angle)
     bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
     return jnp.sum(bits.reshape(-1, 8, 32) * _BIT_WEIGHTS, axis=-1, dtype=jnp.uint32)
 
@@ -329,18 +528,38 @@ def extract_orb(img, params: OrbParams = OrbParams()) -> OrbFeatures:
         )
 
         blurred = gaussian_blur(level_img, sigma=2.0, radius=3)
-        m10_map, m01_map = orientation_maps(blurred)
-        h, w = level_img.shape
-        xi = xy[:, 0].astype(jnp.int32)
-        yi = xy[:, 1].astype(jnp.int32)
-        m10 = m10_map.reshape(-1)[yi * w + xi]
-        m01 = m01_map.reshape(-1)[yi * w + xi]
-        angle = jnp.arctan2(m01, m10)
+        if params.brief_mode == "polar":
+            # patch-based path: one patch extraction feeds both the disc-
+            # moment orientation and the polar descriptor — no whole-image
+            # moment maps, no all-bins sampling
+            use_pallas_patches = params.pallas_patches == "on" or (
+                params.pallas_patches == "auto"
+                and jax.default_backend() not in ("cpu", "gpu")
+            )
+            if use_pallas_patches:
+                from .pallas_patch import extract_patches_pallas
 
-        if params.binned_brief:
-            desc = steered_brief_binned(blurred, xy, angle)
+                patches = extract_patches_pallas(blurred, xy)
+            else:
+                patches = extract_patches(blurred, xy)
+            angle = patch_orientation(patches)
+            desc = polar_brief_from_patches(patches, angle)
         else:
-            desc = steered_brief(blurred, xy, angle)
+            m10_map, m01_map = orientation_maps(blurred)
+            h, w = level_img.shape
+            xi = xy[:, 0].astype(jnp.int32)
+            yi = xy[:, 1].astype(jnp.int32)
+            m10 = m10_map.reshape(-1)[yi * w + xi]
+            m01 = m01_map.reshape(-1)[yi * w + xi]
+            angle = jnp.arctan2(m01, m10)
+            if params.brief_mode == "binned":
+                desc = steered_brief_binned(blurred, xy, angle)
+            elif params.brief_mode == "gather":
+                desc = steered_brief_gather(blurred, xy, angle)
+            elif params.brief_mode == "exact":
+                desc = steered_brief(blurred, xy, angle)
+            else:
+                raise ValueError(f"unknown brief_mode {params.brief_mode!r}")
 
         scale_l = jnp.float32(params.scale_factor**lvl)
         feats.append(

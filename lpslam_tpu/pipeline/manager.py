@@ -541,6 +541,7 @@ class SlamManager:
 
         sent = False
         deferred = False
+        all_results = []
         for tracker in self.trackers:
             results = tracker.process_image(entry, nav_odom, nav_map, sensor_values)
             if results is None:
@@ -549,6 +550,15 @@ class SlamManager:
                 # misreport a gap that doesn't exist
                 deferred = True
                 continue
+            all_results.append(results)
+        # result-path processor hook: every processor observes (and may
+        # react to) this frame's sensor values and tracker results before
+        # they are published (processSensorValuesAndResults parity,
+        # SlamManager.cpp:207-227)
+        flat_results = [r for rs in all_results for r in rs]
+        for proc in self.processors:
+            proc.process_results(sensor_values, flat_results)
+        for results in all_results:
             if self._push_results(results):
                 sent = True
         if not sent and not deferred:

@@ -115,6 +115,116 @@ class TestOrb:
         assert frac_ok > 0.7, frac_ok
 
 
+class TestPolarBrief:
+    """The polar-derotation descriptor (kernels/orb.py): the DFT phase-shift
+    path must reproduce the exact integer-shift semantics, patch moments must
+    equal the whole-image orientation maps, and descriptor quality must hold
+    up against the binned path under warps (covered by TestMatching, which
+    runs the default = polar path)."""
+
+    def test_dft_matches_exact_shift(self, texture):
+        from lpslam_tpu.kernels.orb import (
+            extract_patches, polar_brief_from_patches,
+            polar_tap_values_reference,
+        )
+        from lpslam_tpu.kernels.pyramid import gaussian_blur
+
+        rng = np.random.default_rng(11)
+        blurred = gaussian_blur(jnp.asarray(texture), sigma=2.0, radius=3)
+        xy = jnp.asarray(
+            rng.uniform(16, [320 - 17, 240 - 17], (128, 2)).astype(np.float32)
+        )
+        ang = jnp.asarray(rng.uniform(-np.pi, np.pi, 128).astype(np.float32))
+        p = extract_patches(blurred, xy)
+        d_dft = np.asarray(polar_brief_from_patches(p, ang))
+        vals = np.asarray(polar_tap_values_reference(p, ang))
+        bits_ref = vals[:, :256] < vals[:, 256:]
+        bits_dft = np.unpackbits(
+            d_dft.view(np.uint8), bitorder="little", axis=1
+        ).astype(bool)
+        # pairs whose taps are exactly equal (flat patch / same-pixel taps)
+        # have an arbitrary bit in both paths — exclude them; every decided
+        # pair must agree (DFT reconstruction error ~1e-5 << any real
+        # intensity gap)
+        decided = np.abs(vals[:, :256] - vals[:, 256:]) > 1e-3
+        agree = (bits_ref == bits_dft) | ~decided
+        assert decided.mean() > 0.5  # the texture must actually decide pairs
+        frac = agree[decided].mean() if decided.any() else 1.0
+        assert frac == 1.0, (1.0 - frac, int((~agree & decided).sum()))
+
+    def test_patch_orientation_equals_moment_maps(self, texture):
+        from lpslam_tpu.kernels.orb import (
+            extract_patches, patch_orientation, orientation_maps,
+        )
+        from lpslam_tpu.kernels.pyramid import gaussian_blur
+
+        rng = np.random.default_rng(5)
+        blurred = gaussian_blur(jnp.asarray(texture), sigma=2.0, radius=3)
+        xi = rng.integers(16, 320 - 17, 96)
+        yi = rng.integers(16, 240 - 17, 96)
+        xy = jnp.asarray(np.stack([xi, yi], 1).astype(np.float32))
+        ang_patch = np.asarray(patch_orientation(extract_patches(blurred, xy)))
+        m10, m01 = orientation_maps(blurred)
+        m10n = np.asarray(m10)[yi, xi]
+        m01n = np.asarray(m01)[yi, xi]
+        ang_map = np.arctan2(m01n, m10n)
+        d = (ang_patch - ang_map + np.pi) % (2 * np.pi) - np.pi
+        # identical math up to f32 summation order; angle noise blows up
+        # only where the centroid magnitude is ~0 (angle is meaningless)
+        strong = np.hypot(m10n, m01n) > 1e3
+        assert strong.sum() > 50
+        assert np.abs(d[strong]).max() < 1e-3, np.abs(d[strong]).max()
+
+    def test_rotation_invariance_match_rate(self, texture):
+        """Polar descriptors must match across a pure in-plane rotation at
+        a rate comparable to the binned path (the quantization the polar
+        grid adds must not cost matching quality)."""
+        import cv2
+        from lpslam_tpu.kernels import match_mutual_nn
+
+        h, w = texture.shape
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), 25.0, 1.0)
+        rot = cv2.warpAffine(texture, M, (w, h), borderValue=128)
+        rates = {}
+        for mode in ("polar", "binned"):
+            params = OrbParams(num_keypoints=384, num_levels=1, brief_mode=mode)
+            fa = extract_orb(jnp.asarray(texture), params)
+            fb = extract_orb(jnp.asarray(rot), params)
+            idx, ok = match_mutual_nn(fa.desc, fb.desc, fa.valid, fb.valid)
+            okn = np.asarray(ok)
+            xya = np.asarray(fa.xy)[okn]
+            xyb = np.asarray(fb.xy)[np.asarray(idx)[okn]]
+            mapped = np.concatenate([xya, np.ones((len(xya), 1))], 1) @ M.T
+            err = np.linalg.norm(mapped - xyb, axis=1)
+            rates[mode] = float(np.sum(err < 2.0))
+        assert rates["polar"] > 40, rates
+        assert rates["polar"] >= 0.8 * rates["binned"], rates
+
+    def test_gather_agrees_with_binned(self, texture):
+        """steered_brief_gather samples the same quantized pattern as the
+        binned matmul: agreement up to bf16 rounding of near-equal taps
+        (kept as the negative-result fallback — see PERF.md)."""
+        from lpslam_tpu.kernels.orb import (
+            steered_brief_binned, steered_brief_gather,
+        )
+        from lpslam_tpu.kernels.pyramid import gaussian_blur
+
+        rng = np.random.default_rng(3)
+        blurred = gaussian_blur(jnp.asarray(texture), sigma=2.0, radius=3)
+        xy = jnp.asarray(
+            rng.uniform(16, [320 - 17, 240 - 17], (64, 2)).astype(np.float32)
+        )
+        ang = jnp.asarray(rng.uniform(-np.pi, np.pi, 64).astype(np.float32))
+        d_g = np.asarray(steered_brief_gather(blurred, xy, ang))
+        d_b = np.asarray(steered_brief_binned(blurred, xy, ang))
+        ham = np.array([
+            bin(int.from_bytes(a.tobytes(), "little")
+                ^ int.from_bytes(b.tobytes(), "little")).count("1")
+            for a, b in zip(d_g, d_b)
+        ])
+        assert ham.mean() < 2.0, ham.mean()
+
+
 class TestMatching:
     def test_hamming_vs_numpy(self, rng):
         a = rng.integers(0, 2**32, (64, 8), dtype=np.uint32)

@@ -31,3 +31,22 @@ def test_pallas_fast_small_image_fallback():
     ref = np.asarray(reference_score(img))
     ours = np.asarray(fast_nms_score_pallas(img, interpret=True))
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_pallas_patches_match_xla():
+    """extract_patches_pallas must be bit-identical to the XLA gather path
+    (aligned-load + dynamic-roll formulation, incl. border clamping and the
+    padded tail block)."""
+    from lpslam_tpu.kernels.orb import extract_patches
+    from lpslam_tpu.kernels.pallas_patch import extract_patches_pallas
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(make_texture(240, 320, seed=6))
+    # include exact border-clamp cases and non-block-multiple N
+    xy = np.concatenate([
+        rng.uniform(0, [320, 240], (70, 2)).astype(np.float32),
+        np.array([[0, 0], [319, 239], [16, 16], [303, 223]], np.float32),
+    ])
+    ref = np.asarray(extract_patches(img, jnp.asarray(xy)))
+    ours = np.asarray(extract_patches_pallas(img, jnp.asarray(xy), interpret=True))
+    np.testing.assert_array_equal(ours, ref)

@@ -297,3 +297,53 @@ class TestFileSource:
         src.stop()
         assert len(got) == 3
         assert got[0].image.shape == (24, 32)
+
+
+class TestResultProcessorHook:
+    def test_process_results_sees_sensor_values_and_results(self):
+        """Every processor's result hook runs once per frame with that
+        frame's drained sensor values and the trackers' results
+        (processSensorValuesAndResults parity, SlamManager.cpp:207-227)."""
+        from types import SimpleNamespace
+        from lpslam_tpu.pipeline.manager import SlamManager
+        from lpslam_tpu.pipeline.processors import ProcessorBase
+        from lpslam_tpu.pipeline.queues import CameraQueueEntry, SensorQueueEntry
+
+        class SpyProcessor(ProcessorBase):
+            def __init__(self):
+                super().__init__()
+                self.calls = []
+
+            def process_results(self, sensor_values, results):
+                self.calls.append((list(sensor_values), list(results)))
+                return results
+
+        class FakeTracker:
+            def start(self, sensor_queue=None):
+                pass
+
+            def stop(self):
+                pass
+
+            def process_image(self, entry, nav_odom, nav_map, sensor_values):
+                return [SimpleNamespace(
+                    timestamp=entry.timestamp,
+                    position=np.zeros(3),
+                    orientation_wxyz=np.asarray([1.0, 0, 0, 0]),
+                    valid=True,
+                )]
+
+        mgr = SlamManager()
+        spy = SpyProcessor()
+        mgr.processors.append(spy)
+        mgr.trackers.append(FakeTracker())
+        mgr.sensor_queue.push(SensorQueueEntry(
+            timestamp=0.5, kind="imu", acc=np.zeros(3), gyro=np.zeros(3)))
+        mgr.camera_queue.push(CameraQueueEntry(
+            timestamp=1.0, image=np.zeros((32, 32), np.float32)))
+        mgr._work(None)
+        assert len(spy.calls) == 1
+        svs, results = spy.calls[0]
+        assert len(svs) == 1 and svs[0].kind == "imu"
+        assert len(results) == 1 and results[0].valid
+        assert results[0].timestamp == 1.0
