@@ -117,7 +117,7 @@ def main():
     fps = done / wall
     io.shutdown(wait=False)
 
-    sts, n_inl, _, _, kf_ins = ct.collect()
+    sts, n_inl, _, _, kf_ins, _, _ = ct.collect()
     ct_ms = np.asarray(chunk_times) / CHUNK * 1e3
     print(
         json.dumps(

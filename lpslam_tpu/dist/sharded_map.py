@@ -29,6 +29,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..kernels.linalg import inv3x3
 from jax.sharding import Mesh, PartitionSpec as P
 import inspect as _inspect
 
@@ -127,7 +129,7 @@ def _sgba_impl(prob, cam, iters, cg_iters, axis_name, mesh_holder):
         dmean = jnp.einsum("pii->p", Hpp) / 3.0
         damp = lam * dmean + 1e-6
         Hpp_d = Hpp + damp[:, None, None] * jnp.eye(3, dtype=bc.dtype)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)  # closed-form: batched LU is ~3.8 ms at (P,3,3) on v5e
         Hpp_inv = jnp.where(
             jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
             Hpp_inv, 0.0,
@@ -169,7 +171,9 @@ def _sgba_impl(prob, cam, iters, cg_iters, axis_name, mesh_holder):
             JcTJp, Hpp_inv[jnp.maximum(obs_lm, 0)], JcTJp,
         )
         Sdiag = Sdiag + 1e-6 * jnp.eye(6, dtype=bc.dtype)[None]
-        Mi = jnp.linalg.inv(Sdiag)
+        from ..kernels.linalg import inv6x6_spd
+
+        Mi = inv6x6_spd(Sdiag)
         Mi = jnp.where(
             jnp.all(jnp.isfinite(Mi), axis=(-2, -1), keepdims=True),
             Mi, jnp.eye(6, dtype=bc.dtype)[None],

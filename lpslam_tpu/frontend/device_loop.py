@@ -70,10 +70,35 @@ class FrameOut(NamedTuple):
     pose_R: jnp.ndarray        # (B, 3, 3)
     pose_t: jnp.ndarray        # (B, 3)
     kf_inserted: jnp.ndarray   # (B,) bool
+    sigma_pos: jnp.ndarray     # (B, 3) camera-center std-dev (world frame)
+    sigma_rot: jnp.ndarray     # (B,) rotation std-dev [rad]
 
 
 def _where_se3(c, a: SE3, b: SE3) -> SE3:
     return SE3(jnp.where(c, a.R, b.R), jnp.where(c, a.t, b.t))
+
+
+_EMPTY_OUT = (
+    np.zeros(0, np.int32),
+    np.zeros(0, np.int32),
+    np.zeros((0, 3, 3), np.float32),
+    np.zeros((0, 3), np.float32),
+    np.zeros(0, bool),
+    np.zeros((0, 3), np.float32),
+    np.zeros(0, np.float32),
+)
+
+
+def _out_to_numpy(cat: FrameOut):
+    return (
+        np.asarray(cat.status),
+        np.asarray(cat.n_inliers),
+        np.asarray(cat.pose_R),
+        np.asarray(cat.pose_t),
+        np.asarray(cat.kf_inserted),
+        np.asarray(cat.sigma_pos),
+        np.asarray(cat.sigma_rot),
+    )
 
 
 def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
@@ -247,6 +272,8 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
             pose_R=new_pose.R,
             pose_t=new_pose.t,
             kf_inserted=kf,
+            sigma_pos=tr.sigma_pos,
+            sigma_rot=tr.sigma_rot,
         )
         new_carry = ChunkCarry(
             m=m2,
@@ -559,7 +586,8 @@ class ChunkedTracker:
     def drain(self, keep_last: int = 0):
         """Fetch and CLEAR per-frame outputs accumulated since the last
         drain, keeping the newest `keep_last` chunks pending. Returns
-        (statuses, n_inliers, poses_R, poses_t, kf_inserted) as numpy.
+        (statuses, n_inliers, poses_R, poses_t, kf_inserted, sigma_pos,
+        sigma_rot) as numpy.
 
         The pipeline path calls drain(keep_last=1) at each chunk boundary:
         it then only materializes chunks whose device->host copies were
@@ -569,40 +597,20 @@ class ChunkedTracker:
         reference's asynchronous result queue."""
         take = len(self._outs) - keep_last
         if take <= 0:
-            return (np.zeros(0, np.int32),) * 2 + (
-                np.zeros((0, 3, 3), np.float32),
-                np.zeros((0, 3), np.float32),
-                np.zeros(0, bool),
-            )
+            return _EMPTY_OUT
         outs, self._outs = self._outs[:take], self._outs[take:]
         self._chunk_kf_flags = self._chunk_kf_flags[take:]
         cat = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs) \
             if len(outs) > 1 else outs[0]
-        return (
-            np.asarray(cat.status),
-            np.asarray(cat.n_inliers),
-            np.asarray(cat.pose_R),
-            np.asarray(cat.pose_t),
-            np.asarray(cat.kf_inserted),
-        )
+        return _out_to_numpy(cat)
 
     def collect(self):
         """Fetch all per-frame outputs accumulated so far (bulk transfer).
 
         Returns (statuses (T,), n_inliers (T,), poses_R (T,3,3), poses_t (T,3),
-        kf_inserted (T,)) as numpy arrays.
+        kf_inserted (T,), sigma_pos (T,3), sigma_rot (T,)) as numpy arrays.
         """
         if not self._outs:
-            return (np.zeros(0, np.int32),) * 2 + (
-                np.zeros((0, 3, 3), np.float32),
-                np.zeros((0, 3), np.float32),
-                np.zeros(0, bool),
-            )
+            return _EMPTY_OUT
         cat = jax.tree.map(lambda *xs: jnp.concatenate(xs), *self._outs)
-        return (
-            np.asarray(cat.status),
-            np.asarray(cat.n_inliers),
-            np.asarray(cat.pose_R),
-            np.asarray(cat.pose_t),
-            np.asarray(cat.kf_inserted),
-        )
+        return _out_to_numpy(cat)

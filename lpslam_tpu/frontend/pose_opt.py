@@ -28,6 +28,13 @@ class PoseOptResult(NamedTuple):
     inlier: jnp.ndarray    # (N,) bool
     n_inliers: jnp.ndarray # () int32
     final_cost: jnp.ndarray
+    # pose uncertainty from the final Gauss-Newton information matrix
+    # (Space.h:33-163 parity — the reference's Position3/Orientation carry
+    # value+sigma pairs; here sigmas come from the inlier covariance):
+    # sigma_pos: (3,) world-frame camera-center std-dev [scene units],
+    # sigma_rot: () scalar rotation std-dev [rad]
+    sigma_pos: jnp.ndarray = None
+    sigma_rot: jnp.ndarray = None
 
 
 def _residuals_jac(pose: SE3, cam: PinholeCamera, p_w, uv):
@@ -117,13 +124,38 @@ def pose_only_optimize(
 
     pose, _ = jax.lax.scan(body, pose0, anneal)
 
-    r, _, behind = _residuals_jac(pose, cam, p_w, uv)
+    r, J, behind = _residuals_jac(pose, cam, p_w, uv)
     chi2 = jnp.sum(r * r, axis=-1) / sigma2
     inlier = valid & ~behind & (chi2 <= CHI2_2D)
+    n_in = jnp.sum(inlier).astype(jnp.int32)
     cost = jnp.sum(jnp.where(inlier, chi2, 0.0))
+
+    # pose covariance: C = s^2 (J^T W J)^-1 at the final inliers, with the
+    # reduced chi-square s^2 = cost / (2 n_in - 6) as the residual scale.
+    # The twist lives in the Tcw tangent; the camera-center covariance is
+    # approximated by rotating the translation block into the world frame
+    # (delta_center ~ -R^T delta_t; the rotation-translation coupling is
+    # dropped for this summary statistic).
+    w_in = jnp.where(inlier, 1.0 / sigma2, 0.0)
+    H = jnp.einsum("nik,n,nil->kl", J, w_in, J) + 1e-6 * jnp.eye(6, dtype=r.dtype)
+    from ..kernels.linalg import inv6x6_spd
+
+    C = inv6x6_spd(H)
+    s2 = cost / jnp.maximum(2.0 * n_in.astype(r.dtype) - 6.0, 1.0)
+    C = C * jnp.maximum(s2, 1e-12)
+    C_tt = pose.R.T @ C[:3, :3] @ pose.R
+    sigma_pos = jnp.sqrt(jnp.maximum(jnp.diagonal(C_tt), 0.0))
+    sigma_rot = jnp.sqrt(jnp.maximum(jnp.trace(C[3:, 3:]) / 3.0, 0.0))
+    # a frame with too few inliers has no meaningful covariance
+    bad = n_in < 6
+    sigma_pos = jnp.where(bad, 0.0, sigma_pos)
+    sigma_rot = jnp.where(bad, 0.0, sigma_rot)
+
     return PoseOptResult(
         pose=pose,
         inlier=inlier,
-        n_inliers=jnp.sum(inlier).astype(jnp.int32),
+        n_inliers=n_in,
         final_cost=cost,
+        sigma_pos=sigma_pos,
+        sigma_rot=sigma_rot,
     )

@@ -113,6 +113,8 @@ class TrackResult(NamedTuple):
     kp_lm_idx: jnp.ndarray     # (N,) landmark id per frame keypoint (-1 none)
     n_visible: jnp.ndarray
     map: MapStore              # with updated landmark visibility statistics
+    sigma_pos: jnp.ndarray = None   # (3,) camera-center std-dev (world frame)
+    sigma_rot: jnp.ndarray = None   # () rotation std-dev [rad]
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +217,8 @@ def track_frame(
         kp_lm_idx=kp_lm,
         n_visible=jnp.sum(visible2).astype(jnp.int32),
         map=m,
+        sigma_pos=res.sigma_pos,
+        sigma_rot=res.sigma_rot,
     )
 
 
@@ -374,6 +378,10 @@ class MonoTracker:
         self.inliers_at_last_kf = 1
         self._init_feats: Optional[OrbFeatures] = None
         self._init_frame_id = -1
+        # pose uncertainty of the last tracked frame (Space.h value+sigma
+        # parity; from pose_only_optimize's inlier covariance)
+        self.last_sigma_pos = np.zeros(3, np.float32)
+        self.last_sigma_rot = 0.0
         self.trajectory: list = []  # (frame_id, SE3 Tcw, status)
         # compaction events since last drain: (kf_order np array, n_kf after).
         # Host-side side tables keyed by keyframe slot (loop-closer BoW rows)
@@ -573,6 +581,9 @@ class MonoTracker:
             )
             self.map = tr.map  # adopt visibility statistics
             n_inl = int(tr.n_inliers)
+            if tr.sigma_pos is not None:
+                self.last_sigma_pos = np.asarray(tr.sigma_pos)
+                self.last_sigma_rot = float(tr.sigma_rot)
             if n_inl >= self.cfg.min_inliers:
                 prev_pose = self.pose
                 self.pose = tr.pose

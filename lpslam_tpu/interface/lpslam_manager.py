@@ -185,11 +185,19 @@ class LpSlamManager:
     def mapping_get_map_raw(self):
         return self._m.mapping_get_map_raw()
 
-    def mapping_get_features(self, max_count: int = 0):
-        return self._m.mapping_get_features(max_count)
+    def mapping_get_features(self, max_count: int = 0, boundary=None,
+                             transform=None):
+        """mappingGetFeatures(boundary, entry, entry_count, transform)
+        parity (LpSlamManager.h:106-109): optional lpslam-plane boundary
+        rectangle ((y_min, z_min), (y_max, z_max)) and 3x3 / flat-9
+        transform applied to each exported position."""
+        return self._m.mapping_get_features(
+            max_count, boundary=boundary, transform=transform
+        )
 
-    def mapping_get_features_count(self) -> int:
-        return len(self._m.mapping_get_features(0))
+    def mapping_get_features_count(self, boundary=None) -> int:
+        """mappingGetFeaturesCount(boundary) parity — honors the boundary."""
+        return self._m.mapping_get_features_count(boundary=boundary)
 
     def mapping_set_mode(self, enable_mapping: bool) -> bool:
         """Freeze/unfreeze mapping on all trackers (mappingSetMode)."""

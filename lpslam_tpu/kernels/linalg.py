@@ -36,6 +36,27 @@ def inv3x3(M, eps: float = 0.0):
     return inv / det[..., None, None]
 
 
+def inv6x6_spd(M):
+    """Closed-form inverse of batched (..., 6, 6) SPD matrices (damped
+    Hessian blocks) via 3x3 block Schur — two adjugate inverses + small
+    einsums, no LU."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    Ct = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ai = inv3x3(A)
+    S = D - Ct @ Ai @ B
+    Si = inv3x3(S)
+    AiB = Ai @ B
+    CtAi = Ct @ Ai
+    tl = Ai + AiB @ Si @ CtAi
+    tr = -AiB @ Si
+    bl = -Si @ CtAi
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def solve_spd_6x6(H, b):
     """Solve H x = b for symmetric positive-definite 6x6 H (damped normal
     equations) via 3x3 block Schur: two adjugate inverses + small matmuls,

@@ -416,11 +416,20 @@ class SlamManager:
                 return occ
         return None
 
-    def mapping_get_features(self, max_count: int = 0):
+    def mapping_get_features(self, max_count: int = 0, boundary=None,
+                             transform=None):
         for tracker in self.trackers:
             if hasattr(tracker, "get_features"):
-                return tracker.get_features(max_count)
+                return tracker.get_features(
+                    max_count, boundary=boundary, transform=transform
+                )
         return []
+
+    def mapping_get_features_count(self, boundary=None) -> int:
+        for tracker in self.trackers:
+            if hasattr(tracker, "get_features_count"):
+                return tracker.get_features_count(boundary=boundary)
+        return 0
 
     def mapping_export_csv(self, path: str):
         for tracker in self.trackers:
@@ -581,10 +590,14 @@ class SlamManager:
                 position=res.position,
                 orientation_wxyz=res.orientation_wxyz,
                 valid=res.valid,
+                position_sigma=getattr(res, "position_sigma", None),
+                orientation_sigma=getattr(res, "orientation_sigma", 0.0),
             )
             if self._record_enabled and res.valid:
                 self.recorder.store_result(
-                    res.timestamp, res.position, res.orientation_wxyz
+                    res.timestamp, res.position, res.orientation_wxyz,
+                    position_sigma=rq.position_sigma,
+                    orientation_sigma=rq.orientation_sigma,
                 )
             self.result_queue.push(rq)
             sent = True

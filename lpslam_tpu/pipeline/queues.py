@@ -56,6 +56,15 @@ class ResultQueueEntry:
     orientation_wxyz: np.ndarray
     valid: bool
     raw: Any = None
+    # pose uncertainty (LpSlamPosition x/y/z_sigma + orientation sigma,
+    # LpSlamTypes.h:6-9 / Space.h:33-163): lpslam-frame position std-devs
+    # and scalar rotation std-dev [rad]
+    position_sigma: np.ndarray = None
+    orientation_sigma: float = 0.0
+
+    def __post_init__(self):
+        if self.position_sigma is None:
+            self.position_sigma = np.zeros(3)
 
 
 class PyBoundedQueue(queue.Queue):

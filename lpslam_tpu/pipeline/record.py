@@ -196,14 +196,19 @@ class RecordEngine:
         msg = pb.SensorGlobalState(timestamp=_ts_to_int(ts), state=gs, reference=reference)
         self._queue.push((pb.MSG_SENSOR_GLOBAL_STATE, msg))
 
-    def store_result(self, ts: float, position, orientation_wxyz):
+    def store_result(self, ts: float, position, orientation_wxyz,
+                     position_sigma=None, orientation_sigma: float = 0.0):
+        sig = position_sigma if position_sigma is not None else (0.0, 0.0, 0.0)
         gs = pb.GlobalState(
             position=pb.Vec3Sigma(
-                x=float(position[0]), y=float(position[1]), z=float(position[2])
+                x=float(position[0]), y=float(position[1]), z=float(position[2]),
+                x_sigma=float(sig[0]), y_sigma=float(sig[1]),
+                z_sigma=float(sig[2]),
             ),
             orientation=pb.Orientation(
                 w=float(orientation_wxyz[0]), x=float(orientation_wxyz[1]),
                 y=float(orientation_wxyz[2]), z=float(orientation_wxyz[3]),
+                sigma=float(orientation_sigma),
             ),
         )
         msg = pb.GlobalStateInTime(timestamp=_ts_to_int(ts), state=gs)

@@ -34,6 +34,15 @@ class TrackerResult:
     position: np.ndarray        # lpslam frame
     orientation_wxyz: np.ndarray
     valid: bool
+    # pose uncertainty (Space.h:33-163 value+sigma parity): position sigmas
+    # in the lpslam frame, scalar orientation sigma [rad]; derived from the
+    # pose optimizer's inlier covariance (frontend/pose_opt.py)
+    position_sigma: np.ndarray = None
+    orientation_sigma: float = 0.0
+
+    def __post_init__(self):
+        if self.position_sigma is None:
+            self.position_sigma = np.zeros(3)
 
 
 @dataclass
@@ -47,6 +56,13 @@ class LaserScan:
     # callback, OpenVSLAMStereoTracker.cpp:235-287 parity); None = identity
     extrinsic_R: np.ndarray = None
     extrinsic_t: np.ndarray = None
+
+
+def _sigma_to_lpslam(sigma_xyz) -> np.ndarray:
+    """Axis-permute world-frame position sigmas into the lpslam frame: the
+    position map is (x,y,z) -> (-y,x,z), so std-devs permute to (sy,sx,sz)."""
+    s = np.asarray(sigma_xyz, np.float64)
+    return np.array([s[1], s[0], s[2]])
 
 
 def create_tracker_result_pose(R: np.ndarray, t: np.ndarray):
@@ -382,6 +398,8 @@ class VSLAMTracker(TrackerBase):
                 position=center_lp,
                 orientation_wxyz=q,
                 valid=True,
+                position_sigma=_sigma_to_lpslam(self.engine.last_sigma_pos),
+                orientation_sigma=float(self.engine.last_sigma_rot),
             )
         ]
 
@@ -483,7 +501,7 @@ class VSLAMTracker(TrackerBase):
         """Per-frame TrackerResults + trajectory records from drained chunk
         outputs; detects in-chunk tracking loss (one chunk late) and hands
         recovery to the host path."""
-        sts, n_inl, pR, pt, kf_ins = drained
+        sts, n_inl, pR, pt, kf_ins, sig_p, sig_r = drained
         out = []
         from ..geometry.se3 import SE3 as _SE3
 
@@ -496,7 +514,11 @@ class VSLAMTracker(TrackerBase):
             )
             if tracking:
                 center_lp, q = create_tracker_result_pose(pR[i], pt[i])
-                out.append(TrackerResult(entry.timestamp, center_lp, q, True))
+                out.append(TrackerResult(
+                    entry.timestamp, center_lp, q, True,
+                    position_sigma=_sigma_to_lpslam(sig_p[i]),
+                    orientation_sigma=float(sig_r[i]),
+                ))
             else:
                 out.append(TrackerResult(
                     entry.timestamp, np.zeros(3),
@@ -847,22 +869,60 @@ class VSLAMTracker(TrackerBase):
             "frame_time": ft,
         }
 
-    def get_features(self, max_count: int = 0):
-        """Landmark export (emitMap / mappingGetFeatures parity)."""
+    def get_features(self, max_count: int = 0, boundary=None, transform=None):
+        """Landmark export (mappingGetFeatures parity,
+        OpenVSLAMTrackerBase.cpp:394-427 + LpSlamManager.h:106-109).
+
+        boundary: optional ((y_min, z_min), (y_max, z_max)) rectangle in the
+        lpslam map plane (LpSlamMapBoundary: top_left/bottom_right with
+        +y right, +z forward) — only landmarks whose lpslam-frame (y, z)
+        fall inside are exported (the reference declares the parameter but
+        marks it "not supported at this time"; here it filters).
+        transform: optional 3x3 (or flat 9-element, LpSlamMatrix9x9)
+        matrix applied to each lpslam-frame position before export, exactly
+        like the reference's `trans * p_lpslam`.
+        """
+        from ..geometry.frames import optical_to_lpslam
+
         m = self.engine.map
         lmv = np.asarray(m.lm_valid)
         pts = np.asarray(m.lm_pos)[lmv]
         obs = np.asarray(m.lm_n_obs)[lmv]
+        # engine-optical -> lpslam frame (-y, x, z), reference line 409
+        pts = np.asarray(optical_to_lpslam(pts)) if len(pts) else pts
+        if boundary is not None:
+            (y0, z0), (y1, z1) = boundary
+            ylo, yhi = min(y0, y1), max(y0, y1)
+            zlo, zhi = min(z0, z1), max(z0, z1)
+            keep = (
+                (pts[:, 1] >= ylo) & (pts[:, 1] <= yhi)
+                & (pts[:, 2] >= zlo) & (pts[:, 2] <= zhi)
+            )
+            pts, obs = pts[keep], obs[keep]
+        if transform is not None:
+            T = np.asarray(transform, np.float32).reshape(3, 3)
+            pts = pts @ T.T
         if max_count and len(pts) > max_count:
             pts, obs = pts[:max_count], obs[:max_count]
         return [{"position": p, "observations": int(o)} for p, o in zip(pts, obs)]
 
+    def get_features_count(self, boundary=None) -> int:
+        """mappingGetFeaturesCount parity, honoring the boundary filter."""
+        return len(self.get_features(0, boundary=boundary))
+
     def export_csv(self, path: str):
+        """Landmark CSV in the engine/world frame (mappingExportCSV parity —
+        the reference delegates to openvslam's map_publisher::export_to_csv,
+        which writes raw world positions, NOT the lpslam-frame conversion
+        that mappingGetFeatures applies)."""
+        m = self.engine.map
+        lmv = np.asarray(m.lm_valid)
+        pts = np.asarray(m.lm_pos)[lmv]
+        obs = np.asarray(m.lm_n_obs)[lmv]
         with open(path, "w") as f:
             f.write("x,y,z,n_obs\n")
-            for feat in self.get_features():
-                p = feat["position"]
-                f.write(f"{p[0]},{p[1]},{p[2]},{feat['observations']}\n")
+            for p, o in zip(pts, obs):
+                f.write(f"{p[0]},{p[1]},{p[2]},{int(o)}\n")
 
     def set_mapping_mode(self, enabled: bool):
         """Freeze/unfreeze mapping (reference mappingSetMode parity)."""

@@ -50,7 +50,7 @@ def test_chunked_matches_per_frame_quality():
         ct.process_chunk(np.stack(seq.images[t:t + 8]))
         t += 8
     ct.sync()
-    sts, n_inl, pR, pt, kf_ins = ct.collect()
+    sts, n_inl, pR, pt, kf_ins, sig_p, sig_r = ct.collect()
 
     assert eng.status == TrackerStatus.TRACKING
     assert (sts == int(TrackerStatus.TRACKING)).mean() > 0.9
@@ -92,7 +92,7 @@ def test_collect_empty():
     seq = make_sequence(num_frames=2, h=120, w=160, seed=2, fx=120.0)
     cam, cfg = _setup(seq)
     ct = ChunkedTracker(MonoTracker(cam, cfg))
-    sts, n_inl, pR, pt, kf = ct.collect()
+    sts, n_inl, pR, pt, kf, sig_p, sig_r = ct.collect()
     assert sts.shape == (0,) and pR.shape == (0, 3, 3)
 
 
@@ -137,7 +137,7 @@ def test_chunked_depth_modes(mode):
         ct.process_chunk(chunk(t, t + 8))
         t += 8
     ct.sync()
-    sts, n_inl, pR, pt, kf_ins = ct.collect()
+    sts, n_inl, pR, pt, kf_ins, sig_p, sig_r = ct.collect()
     assert (sts == int(TrackerStatus.TRACKING)).mean() > 0.9
     assert kf_ins.sum() >= 2
 

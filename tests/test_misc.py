@@ -181,3 +181,61 @@ class TestLaserExtrinsics:
         scan = tr._laser_buffer[-1]
         assert scan.extrinsic_R is not None
         np.testing.assert_allclose(scan.extrinsic_t, [0.1, 0, 0])
+
+
+class TestMappingGetFeatures:
+    def _tracker_with_landmarks(self):
+        import jax.numpy as jnp
+        from lpslam_tpu.geometry import PinholeCamera
+        from lpslam_tpu.pipeline.trackers import VSLAMTracker
+
+        cam = PinholeCamera.make(230.0, 230.0, 160.0, 120.0)
+        tr = VSLAMTracker(cam, {"mode": "mono", "keypoints": 64,
+                                "max_keyframes": 4, "max_landmarks": 128})
+        m = tr.engine.map
+        # optical-frame positions; lpslam = (-y, x, z)
+        pts = jnp.asarray([
+            [1.0, -2.0, 3.0],    # lpslam (2, 1, 3)
+            [-1.0, 2.0, 5.0],    # lpslam (-2, -1, 5)
+            [0.5, -0.5, 9.0],    # lpslam (0.5, 0.5, 9)
+        ], jnp.float32)
+        m = m._replace(
+            lm_pos=m.lm_pos.at[:3].set(pts),
+            lm_valid=m.lm_valid.at[:3].set(True),
+            lm_n_obs=m.lm_n_obs.at[:3].set(4),
+            n_lm=jnp.int32(3),
+        )
+        tr.engine.map = m
+        return tr
+
+    def test_boundary_filters_features(self):
+        """LpSlamMapBoundary parity: only landmarks whose lpslam-plane
+        (y, z) fall inside top_left/bottom_right are exported, and the
+        count honors the boundary (LpSlamManager.h:106-109)."""
+        tr = self._tracker_with_landmarks()
+        all_feats = tr.get_features()
+        assert len(all_feats) == 3
+        # rectangle around y in [0, 2], z in [0, 6]: keeps only lpslam
+        # (2, 1, 3) — excludes (-1) y of the second and z=9 of the third
+        boundary = ((0.0, 0.0), (2.0, 6.0))
+        feats = tr.get_features(boundary=boundary)
+        assert len(feats) == 1
+        np.testing.assert_allclose(feats[0]["position"], [2.0, 1.0, 3.0])
+        assert tr.get_features_count(boundary=boundary) == 1
+        assert tr.get_features_count() == 3
+
+    def test_transform_applied_on_export(self):
+        """LpSlamMatrix9x9 parity: flat 9-element transform multiplies each
+        lpslam-frame position (trans * p_lpslam,
+        OpenVSLAMTrackerBase.cpp:401-411)."""
+        tr = self._tracker_with_landmarks()
+        # scale by 2 around x, swap y/z
+        T = [2.0, 0, 0,
+             0, 0, 1.0,
+             0, 1.0, 0]
+        feats = tr.get_features(transform=T)
+        np.testing.assert_allclose(feats[0]["position"], [4.0, 3.0, 1.0])
+
+    def test_max_count_truncates(self):
+        tr = self._tracker_with_landmarks()
+        assert len(tr.get_features(2)) == 2
