@@ -123,18 +123,25 @@ def bundle_adjust(
     C, N = prob.obs_lm.shape
     P = prob.points.shape[0]
 
-    active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
-    flat_lm = jnp.maximum(prob.obs_lm.reshape(-1), 0)
     # Small problems (local windows) build the landmark-side blocks with a
     # one-hot MXU matmul instead of scatter/segment ops: TPU scatter-adds
     # serialize (~1.8 ms/iter at the window shape) while the equivalent
     # (C,N,P) one-hot contraction is one fused matmul (~0.7 ms for BOTH Hpp
-    # and Hcp). The dense one-hot is C*N*P floats, so large problems
-    # (global BA) keep the scatter path.
+    # and Hcp). The dense one-hot is C*N*P floats AND the dense Schur
+    # coupling is (C,P,6,3) floats, so large problems (global BA at product
+    # capacity: 128 kf x 24.5k landmarks) route to the matrix-free
+    # Schur-CG formulation instead (bundle_adjust_cg) — identical math, no
+    # C x P materialization of any kind.
     use_onehot = C * N * P <= (1 << 25)
-    if use_onehot:
-        onehot = (prob.obs_lm[:, :, None] ==
-                  jnp.arange(P, dtype=prob.obs_lm.dtype)[None, None, :])
+    if not use_onehot:
+        return bundle_adjust_cg(prob, cam, iters=iters, lm_lambda0=lm_lambda0)
+
+    active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
+    # built (and cast) ONCE per call — inside `step` the 118 MB f32 cast
+    # would re-materialize every LM iteration under fori_loop
+    onehot_f = (prob.obs_lm[:, :, None] ==
+                jnp.arange(P, dtype=prob.obs_lm.dtype)[None, None, :]
+                ).astype(prob.points.dtype)
 
     def step(carry, gate):
         R, t, points, lam = carry
@@ -150,24 +157,10 @@ def bundle_adjust(
         JpTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jp, w, Jp)         # (C,N,3,3)
         bp_terms = jnp.einsum("cnik,cn,cni->cnk", Jp, w, r)         # (C,N,3)
         JcTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jc, w, Jp)         # (C,N,6,3)
-        if use_onehot:
-            oh = onehot.astype(r.dtype)                             # (C,N,P)
-            Hpp = jnp.einsum("cnp,cnkl->pkl", oh, JpTJp)
-            bp = jnp.einsum("cnp,cnk->pk", oh, bp_terms)
-            Hcp = jnp.einsum("cnp,cnkl->cpkl", oh, JcTJp)           # (C,P,6,3)
-        else:
-            Hpp = jax.ops.segment_sum(
-                JpTJp.reshape(-1, 3, 3), flat_lm, num_segments=P
-            )
-            bp = jax.ops.segment_sum(
-                bp_terms.reshape(-1, 3), flat_lm, num_segments=P
-            )
-            # dense camera-point coupling: scatter (C,N,6,3) -> (C,P,6,3)
-            Hcp = jnp.zeros((C, P, 6, 3), r.dtype)
-            cam_rows = jnp.broadcast_to(
-                jnp.arange(C)[:, None], (C, N)
-            ).reshape(-1)
-            Hcp = Hcp.at[cam_rows, flat_lm].add(JcTJp.reshape(-1, 6, 3))
+        oh = onehot_f                                               # (C,N,P)
+        Hpp = jnp.einsum("cnp,cnkl->pkl", oh, JpTJp)
+        bp = jnp.einsum("cnp,cnk->pk", oh, bp_terms)
+        Hcp = jnp.einsum("cnp,cnkl->cpkl", oh, JcTJp)               # (C,P,6,3)
 
         # damped point blocks and their inverses
         lam_eye3 = lam * jnp.eye(3, dtype=r.dtype)
@@ -232,6 +225,14 @@ def bundle_adjust(
         lam = jnp.clip(lam, 1e-6, 1e3)
         return (R, t, points, lam)
 
+    return _staged_lm(prob, cam, iters, lm_lambda0, active0, step)
+
+
+def _staged_lm(prob, cam, iters, lm_lambda0, active0, step):
+    """Shared staged-LM driver (the engine's repeated optimize → cull
+    rounds): every observation first (Huber-weighted), then progressively
+    tighter hard chi2 culls recomputed from the current estimate. `step` is
+    one LM iteration (carry, gate) -> carry."""
     r0, _, _, pc0 = _project_residuals(
         cam, prob.cam_R, prob.cam_t, prob.points, prob.obs_lm, prob.obs_uv
     )
@@ -239,9 +240,6 @@ def bundle_adjust(
         r0, prob.obs_sigma2, active0 & (pc0[..., 2] > 1e-2)
     )
 
-    # staged optimization like the engine's repeated optimize → cull rounds:
-    # every observation first (Huber-weighted), then progressively tighter
-    # hard chi2 culls recomputed from the current estimate.
     n1 = max(iters // 3, 1)
     n2 = max(iters // 3, 1)
     n3 = max(iters - n1 - n2, 1)
@@ -271,6 +269,142 @@ def bundle_adjust(
         cam_R=R, cam_t=t, points=points,
         initial_cost=cost0, final_cost=costf, obs_inlier=inlier,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def bundle_adjust_cg(
+    prob: BAProblem,
+    cam: PinholeCamera,
+    iters: int = 10,
+    cg_iters: int = 24,
+    lm_lambda0: float = 1e-4,
+) -> BAResult:
+    """Memory-safe bundle adjustment: matrix-free Schur complement + block-
+    Jacobi preconditioned conjugate gradients on the camera system.
+
+    Same staged-LM/cull structure and point back-substitution as
+    `bundle_adjust`, but NOTHING of size C x P is ever materialized: the
+    Schur operator S = Hcc + lam I − Hcp Hpp⁻¹ Hpc is applied
+    observation-wise (three (C,N,·) einsums + one segment-sum per matvec).
+    This is the single-chip form of dist/sharded_map's distributed
+    Schur-CG (g2o's sparse global BA role,
+    /root/reference/conan-packages/g2o-conan/conanfile.py:118-126) and the
+    path `global_ba` takes at product capacity (128 kf x 24.5k landmarks,
+    where the dense coupling alone would be (C,P,6,3) ~ 226 MB plus a
+    (C,N,P) one-hot ~ 15 GB).
+    """
+    C, N = prob.obs_lm.shape
+    P = prob.points.shape[0]
+    active0 = (prob.obs_lm >= 0) & prob.point_valid[jnp.maximum(prob.obs_lm, 0)]
+    flat_lm = jnp.maximum(prob.obs_lm.reshape(-1), 0)
+    obs_p = jnp.maximum(prob.obs_lm, 0)                             # (C,N)
+    eye6 = jnp.eye(6, dtype=prob.points.dtype)
+
+    def step(carry, gate):
+        R, t, points, lam = carry
+        r, Jc, Jp, p_c = _project_residuals(cam, R, t, points, prob.obs_lm, prob.obs_uv)
+        active = active0 & gate & (p_c[..., 2] > 1e-2)
+        cost, w = _cost_and_weights(r, prob.obs_sigma2, active)
+        Jc = jnp.where(prob.cam_fixed[:, None, None, None], 0.0, Jc)
+
+        Hcc = jnp.einsum("cnik,cn,cnil->ckl", Jc, w, Jc)            # (C,6,6)
+        bc = jnp.einsum("cnik,cn,cni->ck", Jc, w, r)                # (C,6)
+        JpTJp = jnp.einsum("cnik,cn,cnil->cnkl", Jp, w, Jp)         # (C,N,3,3)
+        bp_terms = jnp.einsum("cnik,cn,cni->cnk", Jp, w, r)         # (C,N,3)
+        Hpp = jax.ops.segment_sum(
+            JpTJp.reshape(-1, 3, 3), flat_lm, num_segments=P
+        )
+        bp = jax.ops.segment_sum(
+            bp_terms.reshape(-1, 3), flat_lm, num_segments=P
+        )
+
+        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
+        Hpp_inv = inv3x3(Hpp_d)
+        Hpp_inv = jnp.where(
+            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
+            Hpp_inv, 0.0,
+        )
+        if prob.point_fixed is not None:
+            Hpp_inv = jnp.where(prob.point_fixed[:, None, None], 0.0, Hpp_inv)
+
+        def hpc_apply(x):
+            """(C,6) camera vector -> (P,3) accumulated J_p^T w J_c x."""
+            y = jnp.einsum("cnik,ck->cni", Jc, x)                   # (C,N,2)
+            z = jnp.einsum("cnik,cn,cni->cnk", Jp, w, y)            # (C,N,3)
+            return jax.ops.segment_sum(
+                z.reshape(-1, 3), flat_lm, num_segments=P
+            )
+
+        def hcp_apply(v):
+            """(P,3) point vector -> (C,6) accumulated J_c^T w J_p v."""
+            yy = jnp.einsum("cnik,cnk->cni", Jp, v[obs_p])          # (C,N,2)
+            return jnp.einsum("cnik,cn,cni->ck", Jc, w, yy)         # (C,6)
+
+        def S_apply(x):
+            u = jnp.einsum("pij,pj->pi", Hpp_inv, hpc_apply(x))
+            out = jnp.einsum("ckl,cl->ck", Hcc, x) + lam * x - hcp_apply(u)
+            # fixed cameras: identity rows
+            return jnp.where(prob.cam_fixed[:, None], x, out)
+
+        bS = bc - hcp_apply(jnp.einsum("pij,pj->pi", Hpp_inv, bp))
+        b_rhs = jnp.where(prob.cam_fixed[:, None], 0.0, -bS)
+
+        # block-Jacobi preconditioned CG on S dc = -bS
+        from ..kernels.linalg import inv6x6_spd
+
+        Mi = inv6x6_spd(Hcc + (lam + 1e-6) * eye6[None])
+        Mi = jnp.where(prob.cam_fixed[:, None, None], eye6[None], Mi)
+
+        def precond(v):
+            return jnp.einsum("cij,cj->ci", Mi, v)
+
+        x0 = jnp.zeros_like(b_rhs)
+        res = b_rhs
+        z = precond(res)
+        p = z
+        rz = jnp.vdot(res, z)
+
+        def cg_body(_, st):
+            x, res, p, rz = st
+            Ap = S_apply(p)
+            denom = jnp.vdot(p, Ap)
+            alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            z = precond(res)
+            rz_new = jnp.vdot(res, z)
+            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+            p = z + beta * p
+            return (x, res, p, rz_new)
+
+        dc, _, _, _ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, res, p, rz)
+        )
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+
+        # back-substitute points: dp = -Hpp_inv (bp + Hpc dc)
+        dp = -jnp.einsum("pjk,pk->pj", Hpp_inv, bp + hpc_apply(dc))
+        dp = jnp.where(prob.point_valid[:, None], dp, 0.0)
+
+        T_new = jax.vmap(lambda R_, t_, d: se3_compose(se3_exp(d), SE3(R_, t_)))(
+            R, t, dc
+        )
+        pts_new = points + dp
+        r2, _, _, p_c2 = _project_residuals(
+            cam, T_new.R, T_new.t, pts_new, prob.obs_lm, prob.obs_uv
+        )
+        active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
+        cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
+
+        accept = cost_new < cost
+        R = jnp.where(accept, T_new.R, R)
+        t = jnp.where(accept, T_new.t, t)
+        points = jnp.where(accept, pts_new, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-6, 1e3)
+        return (R, t, points, lam)
+
+    return _staged_lm(prob, cam, iters, lm_lambda0, active0, step)
 
 
 # ---------------------------------------------------------------------------

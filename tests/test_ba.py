@@ -91,3 +91,43 @@ def test_ba_robust_to_outliers():
     for c in range(2, 6):
         dt = np.linalg.norm(np.asarray(res.cam_t[c]) - t_gt[c])
         assert dt < 2e-2, (c, dt)
+
+
+def test_ba_cg_matches_dense():
+    """The matrix-free Schur-CG path must converge to the dense path's
+    solution on the same problem (identical staged culling; CG solves the
+    camera system iteratively, so costs agree to a small tolerance)."""
+    from lpslam_tpu.backend.ba import bundle_adjust_cg
+
+    rng = np.random.default_rng(21)
+    prob, R_gt, t_gt, pts_gt = build_problem(rng)
+    dense = bundle_adjust(prob, CAM, iters=12)
+    cg = bundle_adjust_cg(prob, CAM, iters=12, cg_iters=24)
+    assert float(cg.final_cost) < float(cg.initial_cost) * 0.05
+    assert float(cg.final_cost) < float(dense.final_cost) * 1.01 + 1e-3
+    # both reach the same optimum (up to the inexact CG camera solve)
+    for c in range(2, 6):
+        dt = np.linalg.norm(np.asarray(cg.cam_t[c]) - np.asarray(dense.cam_t[c]))
+        assert dt < 1e-3, (c, dt)
+    np.testing.assert_allclose(np.asarray(cg.cam_t[:2]), t_gt[:2], atol=1e-7)
+
+
+def test_global_ba_product_capacity_is_memory_safe():
+    """global_ba at the product MapConfig (128 kf x 24576 landmarks x 1200
+    keypoints) must route to the Schur-CG formulation: no (C,P,6,3) dense
+    coupling and no (C,N,P) one-hot may appear anywhere in the lowered
+    program (the dense forms are ~226 MB and ~15 GB there)."""
+    import jax
+    from lpslam_tpu.backend.ba import global_ba
+    from lpslam_tpu.mapstore import MapConfig
+    from lpslam_tpu.mapstore.store import empty_map
+
+    m = empty_map(MapConfig(max_keyframes=128, max_landmarks=24576,
+                            num_keypoints=1200))
+    lowered = jax.jit(
+        global_ba, static_argnames=("iters",)
+    ).lower(m, CAM, iters=2)
+    hlo = lowered.as_text()
+    C, P, N = 128, 24576, 1200
+    assert f"{C},{P},6,3" not in hlo.replace(" ", "")
+    assert f"{C},{N},{P}" not in hlo.replace(" ", "")

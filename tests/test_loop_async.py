@@ -101,21 +101,33 @@ def test_verification_latency_off_the_frame_path(monkeypatch):
     seq = make_sequence(num_frames=36, h=240, w=320, seed=4, motion="orbit",
                         fx=230.0)
     cam = PinholeCamera.make(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
-    tr = VSLAMTracker(cam, {
-        "mode": "mono", "keypoints": 384, "max_keyframes": 32,
-        "max_landmarks": 8192, "loop_closure": True, "loop_async": True,
-        "vocab_file": "/nonexistent/vocab",
-    })
-    tr._loop_cfg = lambda: LoopConfig(min_gap=6, min_score=0.12, consistency=1)
 
-    frame_walls = []
-    for t in range(len(seq.images)):
-        t0 = _time.monotonic()
-        tr.process_image(CameraQueueEntry(timestamp=float(t) / 20.0,
-                                          image=seq.images[t]))
-        frame_walls.append(_time.monotonic() - t0)
-    tr.flush()
-    tr.stop()
+    def run_once():
+        tr = VSLAMTracker(cam, {
+            "mode": "mono", "keypoints": 384, "max_keyframes": 32,
+            "max_landmarks": 8192, "loop_closure": True, "loop_async": True,
+            "vocab_file": "/nonexistent/vocab",
+        })
+        tr._loop_cfg = lambda: LoopConfig(
+            min_gap=6, min_score=0.12, consistency=1
+        )
+        frame_walls = []
+        for t in range(len(seq.images)):
+            t0 = _time.monotonic()
+            tr.process_image(CameraQueueEntry(timestamp=float(t) / 20.0,
+                                              image=seq.images[t]))
+            frame_walls.append(_time.monotonic() - t0)
+        tr.flush()
+        tr.stop()
+        return frame_walls
+
+    # pass 1 warms every jitted program (XLA compiles take 5-15 s on a cold
+    # cache and would otherwise dominate frame walls, hiding whether any
+    # REAL verify blocking exists); pass 2 re-runs the identical shapes
+    # against the process-wide jit cache and is the one measured
+    run_once()
+    calls.clear()
+    frame_walls = run_once()
 
     assert len(calls) >= 2, "no verification jobs ran"
     # no frame waited for a verification (generous CPU-noise margin, still
