@@ -398,8 +398,12 @@ class VSLAMTracker(TrackerBase):
                 position=center_lp,
                 orientation_wxyz=q,
                 valid=True,
-                position_sigma=_sigma_to_lpslam(self.engine.last_sigma_pos),
-                orientation_sigma=float(self.engine.last_sigma_rot),
+                position_sigma=_sigma_to_lpslam(
+                    getattr(self.engine, "last_sigma_pos", np.zeros(3))
+                ),
+                orientation_sigma=float(
+                    getattr(self.engine, "last_sigma_rot", 0.0)
+                ),
             )
         ]
 

@@ -67,7 +67,7 @@ def test_chunked_long_run_capacity_and_insertion():
         t += CHUNK
         n_kf_trace.append(int(eng.map.n_kf))  # post-boundary-compaction
     ct.sync()
-    sts, n_inl, pR, pt, kf_ins = ct.drain()
+    sts, n_inl, pR, pt, kf_ins, sig_p, sig_r = ct.drain()
 
     # capacity held at EVERY boundary, not just the end
     assert max(n_kf_trace) < K, (max(n_kf_trace), K)

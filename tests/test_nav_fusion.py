@@ -139,7 +139,10 @@ def test_nav_prior_rescues_discontinuous_motion():
     poses = []
     x = 0.0
     for t in range(n):
-        vx = 0.035 if t < 24 else -0.105
+        # the reversal must be violent enough to break constant-velocity
+        # prediction (the round-4 descriptor upgrade made CV survive the
+        # old -0.105 jump, which inverted the test's premise)
+        vx = 0.035 if t < 24 else -0.7
         x += vx
         poses.append(SE3(np.eye(3, dtype=np.float32),
                          np.array([x, 0.02 * np.sin(0.3 * t), 0.0], np.float32)))
