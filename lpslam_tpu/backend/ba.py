@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..geometry.se3 import SE3, se3_exp, se3_compose
 from ..geometry.so3 import hat
 from ..geometry.camera import PinholeCamera
-from ..kernels.linalg import inv3x3
+from ..kernels.linalg import inv3x3_guarded
 
 CHI2_2D = 5.991
 
@@ -162,20 +162,23 @@ def bundle_adjust(
         bp = jnp.einsum("cnp,cnk->pk", oh, bp_terms)
         Hcp = jnp.einsum("cnp,cnkl->cpkl", oh, JcTJp)               # (C,P,6,3)
 
-        # damped point blocks and their inverses
-        lam_eye3 = lam * jnp.eye(3, dtype=r.dtype)
-        Hpp_d = Hpp + lam_eye3[None] + 1e-8 * jnp.eye(3, dtype=r.dtype)[None]
-        # closed-form adjugate inverse: jnp.linalg.inv lowers to batched LU
-        # (~3.8 ms for (4096,3,3) on a v5e — it was the single largest term
-        # of a local-BA iteration); the adjugate is branch-free VPU math
-        Hpp_inv = inv3x3(Hpp_d)
-        # f32 safety: a degenerate block (e.g. a point collapsing onto a
-        # camera) must not poison the Schur contraction — freeze it instead
-        Hpp_inv = jnp.where(
-            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
-            Hpp_inv,
-            0.0,
-        )
+        # damped point blocks and their inverses. Marquardt-style RELATIVE
+        # damping (lam x mean diagonal, as dist/sharded_map.py): reprojection
+        # Hessian entries are O(fx^2/z^2)*n_obs ~ 1e5-1e7, so an absolute
+        # 1e-4 damping leaves blocks at f32-hostile condition ~1e9 — the
+        # closed-form adjugate inverse then returns finite garbage that
+        # poisons the Schur complement (observed NaN-ing whole stereo maps).
+        # Relative damping bounds the condition at ~1/lam.
+        dmean3 = jnp.einsum("pii->p", Hpp) / 3.0
+        damp3 = lam * dmean3 + 1e-8
+        Hpp_d = Hpp + damp3[:, None, None] * jnp.eye(3, dtype=r.dtype)[None]
+        # closed-form adjugate inverse with a residual quality gate
+        # (kernels/linalg.py): jnp.linalg.inv lowers to batched LU (~3.8 ms
+        # for (4096,3,3) on a v5e — the single largest term of a local-BA
+        # iteration). Degenerate blocks freeze to zero — the adjugate's f32
+        # cancellation yields FINITE garbage on them that an isfinite
+        # check alone does not catch (it NaN'ed whole stereo maps on TPU).
+        Hpp_inv = inv3x3_guarded(Hpp_d)
         # fixed points: zero Hpp_inv = infinite prior on the point, so the
         # Schur term vanishes, cameras see the raw reprojection residuals of
         # the (trusted) point, and the point update is exactly zero
@@ -217,7 +220,13 @@ def bundle_adjust(
         active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
         cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
 
-        accept = cost_new < cost
+        # masked cost can only be compared over comparable active sets: an
+        # exploded step that throws half the points behind the cameras
+        # "wins" on cost (fewer summands) while destroying the map — reject
+        # any step that collapses the active count
+        n_act = jnp.sum(active)
+        n_act2 = jnp.sum(active2)
+        accept = (cost_new < cost) & (n_act2 * 2 >= n_act)
         R = jnp.where(accept, T_new.R, R)
         t = jnp.where(accept, T_new.t, t)
         points = jnp.where(accept, pts_new, points)
@@ -318,12 +327,11 @@ def bundle_adjust_cg(
             bp_terms.reshape(-1, 3), flat_lm, num_segments=P
         )
 
-        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
-        Hpp_inv = inv3x3(Hpp_d)
-        Hpp_inv = jnp.where(
-            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
-            Hpp_inv, 0.0,
-        )
+        # relative damping — see the dense path's comment
+        dmean3 = jnp.einsum("pii->p", Hpp) / 3.0
+        damp3 = lam * dmean3 + 1e-8
+        Hpp_d = Hpp + damp3[:, None, None] * jnp.eye(3, dtype=r.dtype)[None]
+        Hpp_inv = inv3x3_guarded(Hpp_d)
         if prob.point_fixed is not None:
             Hpp_inv = jnp.where(prob.point_fixed[:, None, None], 0.0, Hpp_inv)
 
@@ -396,7 +404,13 @@ def bundle_adjust_cg(
         active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
         cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
 
-        accept = cost_new < cost
+        # masked cost can only be compared over comparable active sets: an
+        # exploded step that throws half the points behind the cameras
+        # "wins" on cost (fewer summands) while destroying the map — reject
+        # any step that collapses the active count
+        n_act = jnp.sum(active)
+        n_act2 = jnp.sum(active2)
+        accept = (cost_new < cost) & (n_act2 * 2 >= n_act)
         R = jnp.where(accept, T_new.R, R)
         t = jnp.where(accept, T_new.t, t)
         points = jnp.where(accept, pts_new, points)

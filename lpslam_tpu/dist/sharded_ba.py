@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..kernels.linalg import inv3x3
+from ..kernels.linalg import inv3x3_guarded
 from jax.sharding import Mesh, PartitionSpec as P
 import inspect as _inspect
 
@@ -125,11 +125,9 @@ def _dba_impl(prob, cam, iters, axis_name, mesh_holder):
 
         # replicated Schur solve (identical math to backend.ba)
         Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=bc.dtype)[None]
-        Hpp_inv = inv3x3(Hpp_d)  # closed-form: batched LU is ~3.8 ms at (P,3,3) on v5e
-        Hpp_inv = jnp.where(
-            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
-            Hpp_inv, 0.0,
-        )
+        # guarded closed-form inverse (batched LU is ~3.8 ms at (P,3,3) on
+        # v5e; the residual gate freezes blocks whose adjugate went bad)
+        Hpp_inv = inv3x3_guarded(Hpp_d)
         S = jnp.zeros((C, 6, C, 6), bc.dtype)
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
         S = S - jnp.einsum("apij,pjk,bplk->aibl", Hcp, Hpp_inv, Hcp)

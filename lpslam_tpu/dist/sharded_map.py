@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..kernels.linalg import inv3x3
+from ..kernels.linalg import inv3x3_guarded
 from jax.sharding import Mesh, PartitionSpec as P
 import inspect as _inspect
 
@@ -129,11 +129,9 @@ def _sgba_impl(prob, cam, iters, cg_iters, axis_name, mesh_holder):
         dmean = jnp.einsum("pii->p", Hpp) / 3.0
         damp = lam * dmean + 1e-6
         Hpp_d = Hpp + damp[:, None, None] * jnp.eye(3, dtype=bc.dtype)[None]
-        Hpp_inv = inv3x3(Hpp_d)  # closed-form: batched LU is ~3.8 ms at (P,3,3) on v5e
-        Hpp_inv = jnp.where(
-            jnp.all(jnp.isfinite(Hpp_inv), axis=(-2, -1), keepdims=True),
-            Hpp_inv, 0.0,
-        )
+        # guarded closed-form inverse (batched LU is ~3.8 ms at (P,3,3) on
+        # v5e; the residual gate freezes blocks whose adjugate went bad)
+        Hpp_inv = inv3x3_guarded(Hpp_d)
 
         free = ~cam_fixed                                    # (c_loc,)
 

@@ -103,6 +103,13 @@ def main(argv=None):
                    help="benchmark orbit turns (1.08 closes the loop)")
     p.add_argument("--export-trajectory", help="TUM-format trajectory output")
     p.add_argument("--json-out", help="also write the result JSON to this path")
+    p.add_argument("--blackout", metavar="A:B",
+                   help="zero frames A..B (BlackoutImageProcessor fault "
+                        "injection): the run must lose tracking and "
+                        "relocalize; ATE is scored on tracked frames")
+    p.add_argument("--low-texture", metavar="A:B", dest="low_texture",
+                   help="degrade frames A..B to a low-texture segment "
+                        "(heavy blur + contrast crush)")
     args = p.parse_args(argv)
 
     from ..pipeline.queues import CameraQueueEntry
@@ -157,14 +164,41 @@ def main(argv=None):
         "chunk_size": args.chunk,
     })
 
+    def parse_range(spec):
+        if not spec:
+            return None
+        a, b = spec.split(":")
+        return int(a), int(b)
+
+    blackout = parse_range(args.blackout)
+    low_tex = parse_range(args.low_texture)
+
+    def degrade(img, idx):
+        if blackout and blackout[0] <= idx <= blackout[1]:
+            return np.zeros_like(img)
+        if low_tex and low_tex[0] <= idx <= low_tex[1]:
+            # low-texture wall: wipe high-frequency detail and crush
+            # contrast (box blur via two cumsum passes, radius 6)
+            k = 13
+            pad = np.pad(img.astype(np.float32), k // 2, mode="edge")
+            c = np.cumsum(np.cumsum(pad, 0), 1)
+            c = np.pad(c, ((1, 0), (1, 0)))
+            h_, w_ = img.shape
+            blur = (c[k:k + h_, k:k + w_] - c[:h_, k:k + w_]
+                    - c[k:k + h_, :w_] + c[:h_, :w_]) / (k * k)
+            return (128.0 + (blur - 128.0) * 0.2).astype(img.dtype)
+        return img
+
     timestamps = []
     t_start = time.perf_counter()
     n = 0
     for frame in ds:
+        img = degrade(frame.image, n)
         entry = CameraQueueEntry(
             timestamp=frame.timestamp,
-            image=frame.image,
-            image_second=frame.image_right,
+            image=img,
+            image_second=(degrade(frame.image_right, n)
+                          if frame.image_right is not None else None),
             aux=frame.depth,
         )
         if proc is not None:
@@ -197,6 +231,10 @@ def main(argv=None):
         "landmarks": tracker.engine.n_landmarks,
         "fps": round(n / max(wall, 1e-9), 2),
     }
+    if blackout:
+        result["blackout_frames"] = list(blackout)
+    if low_tex:
+        result["low_texture_frames"] = list(low_tex)
     gt = ds.ground_truth()
     if gt is not None and len(est) > 10:
         gt_pos = gt.positions_at(np.asarray(ts_tracked))

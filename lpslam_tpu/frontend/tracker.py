@@ -382,6 +382,7 @@ class MonoTracker:
         # parity; from pose_only_optimize's inlier covariance)
         self.last_sigma_pos = np.zeros(3, np.float32)
         self.last_sigma_rot = 0.0
+        self.last_n_inliers = 0
         self.trajectory: list = []  # (frame_id, SE3 Tcw, status)
         # compaction events since last drain: (kf_order np array, n_kf after).
         # Host-side side tables keyed by keyframe slot (loop-closer BoW rows)
@@ -581,6 +582,7 @@ class MonoTracker:
             )
             self.map = tr.map  # adopt visibility statistics
             n_inl = int(tr.n_inliers)
+            self.last_n_inliers = n_inl
             if tr.sigma_pos is not None:
                 self.last_sigma_pos = np.asarray(tr.sigma_pos)
                 self.last_sigma_rot = float(tr.sigma_rot)

@@ -36,6 +36,27 @@ def inv3x3(M, eps: float = 0.0):
     return inv / det[..., None, None]
 
 
+def inv3x3_guarded(M, tol: float = 1e-2):
+    """Adjugate inverse with a residual quality gate: blocks whose inverse
+    fails ``max|M @ inv - I| <= tol`` are returned as ZERO.
+
+    Why: for ill-conditioned blocks the adjugate's f32 cofactor
+    cancellation produces FINITE garbage (entries wrong by orders of
+    magnitude) — unlike LU, which returns inf/nan that a plain isfinite
+    guard catches. In bundle adjustment a poisoned point inverse silently
+    corrupts the Schur complement and the resulting exploded step can mask
+    its own cost (all observations invalidated -> masked cost 0 ->
+    accepted), NaN-ing the map. Zeroing the block freezes that point for
+    the iteration — the same degenerate-block semantics the isfinite guard
+    gave the LU path."""
+    inv = inv3x3(M)
+    eye = jnp.eye(3, dtype=M.dtype)
+    resid = jnp.max(jnp.abs(M @ inv - eye), axis=(-2, -1), keepdims=True)
+    ok = jnp.isfinite(resid) & (resid <= tol)
+    ok = ok & jnp.all(jnp.isfinite(inv), axis=(-2, -1), keepdims=True)
+    return jnp.where(ok, inv, 0.0)
+
+
 def inv6x6_spd(M):
     """Closed-form inverse of batched (..., 6, 6) SPD matrices (damped
     Hessian blocks) via 3x3 block Schur — two adjugate inverses + small

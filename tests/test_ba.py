@@ -131,3 +131,35 @@ def test_global_ba_product_capacity_is_memory_safe():
     C, P, N = 128, 24576, 1200
     assert f"{C},{P},6,3" not in hlo.replace(" ", "")
     assert f"{C},{N},{P}" not in hlo.replace(" ", "")
+
+
+def test_ill_conditioned_point_blocks_cannot_poison_ba():
+    """Regression for the TPU stereo map NaN explosion: a landmark whose
+    damped 3x3 block is f32-ill-conditioned must be frozen (or accurately
+    inverted), never allowed to inject finite-garbage into the Schur
+    complement. Constructed worst case: large-scale rank-2 blocks (the
+    single-observation depth-seeded landmark shape)."""
+    from lpslam_tpu.kernels.linalg import inv3x3_guarded
+
+    rng = np.random.default_rng(5)
+    # rank-2 blocks with O(1e7) entries: J^T J for one observation
+    J = rng.normal(0, 3e3, (64, 2, 3)).astype(np.float32)
+    H = jnp.einsum("nij,nik->njk", jnp.asarray(J), jnp.asarray(J))
+    lam = 1e-4
+    # absolute damping (the old formulation): cond ~ 1e10 -> adjugate
+    # cancellation garbage; the guard must zero those blocks
+    Hd_abs = H + (lam + 1e-8) * jnp.eye(3)[None]
+    inv_abs = np.asarray(inv3x3_guarded(Hd_abs))
+    resid = np.asarray(Hd_abs @ inv_abs - jnp.eye(3)[None])
+    frozen = np.all(inv_abs == 0.0, axis=(1, 2))
+    ok_resid = np.abs(resid).max(axis=(1, 2)) <= 1e-2
+    assert np.all(frozen | ok_resid)
+
+    # relative damping (the production formulation): every block must
+    # invert cleanly — nothing frozen, residual small
+    dmean = np.asarray(jnp.einsum("pii->p", H)) / 3.0
+    Hd_rel = H + jnp.asarray(lam * dmean + 1e-8)[:, None, None] * jnp.eye(3)[None]
+    inv_rel = np.asarray(inv3x3_guarded(Hd_rel))
+    assert not np.any(np.all(inv_rel == 0.0, axis=(1, 2)))
+    resid = np.asarray(Hd_rel @ jnp.asarray(inv_rel) - jnp.eye(3)[None])
+    assert np.abs(resid).max() <= 1e-2
