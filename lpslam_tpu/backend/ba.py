@@ -162,16 +162,14 @@ def bundle_adjust(
         bp = jnp.einsum("cnp,cnk->pk", oh, bp_terms)
         Hcp = jnp.einsum("cnp,cnkl->cpkl", oh, JcTJp)               # (C,P,6,3)
 
-        # damped point blocks and their inverses. Marquardt-style RELATIVE
-        # damping (lam x mean diagonal, as dist/sharded_map.py): reprojection
-        # Hessian entries are O(fx^2/z^2)*n_obs ~ 1e5-1e7, so an absolute
-        # 1e-4 damping leaves blocks at f32-hostile condition ~1e9 — the
-        # closed-form adjugate inverse then returns finite garbage that
-        # poisons the Schur complement (observed NaN-ing whole stereo maps).
-        # Relative damping bounds the condition at ~1/lam.
-        dmean3 = jnp.einsum("pii->p", Hpp) / 3.0
-        damp3 = lam * dmean3 + 1e-8
-        Hpp_d = Hpp + damp3[:, None, None] * jnp.eye(3, dtype=r.dtype)[None]
+        # damped point blocks and their inverses. Damping is ABSOLUTE
+        # (Levenberg): relative (Marquardt) damping measured 6x worse ATE
+        # on the stereo e2e benchmark — it over-damps healthy point updates
+        # whose Hessian entries are large (O(fx^2/z^2)*n_obs). The price is
+        # f32-hostile conditioning on degenerate blocks; inv3x3_guarded's
+        # residual gate freezes exactly those (see kernels/linalg.py), and
+        # the active-set accept guard below is the second line of defense.
+        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
         # closed-form adjugate inverse with a residual quality gate
         # (kernels/linalg.py): jnp.linalg.inv lowers to batched LU (~3.8 ms
         # for (4096,3,3) on a v5e — the single largest term of a local-BA
@@ -220,13 +218,22 @@ def bundle_adjust(
         active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
         cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
 
-        # masked cost can only be compared over comparable active sets: an
-        # exploded step that throws half the points behind the cameras
-        # "wins" on cost (fewer summands) while destroying the map — reject
-        # any step that collapses the active count
+        # masked cost can only be compared over comparable active sets: a
+        # corrupted step that throws points behind the cameras (or NaNs
+        # them) "wins" on cost by deleting its own summands while
+        # destroying the map. Reject any step that loses over half the
+        # active set, and any non-finite cost. (A 2% threshold was tried:
+        # it also rejects legitimate large early corrections under heavy
+        # outliers and measurably hurt accuracy; half-collapse only ever
+        # happens on corrupted steps.) This is the containment layer that
+        # lets LM re-damp and recover from a sloppy Hpp block.
         n_act = jnp.sum(active)
         n_act2 = jnp.sum(active2)
-        accept = (cost_new < cost) & (n_act2 * 2 >= n_act)
+        accept = (
+            (cost_new < cost)
+            & jnp.isfinite(cost_new)
+            & (n_act2 * 2 >= n_act)
+        )
         R = jnp.where(accept, T_new.R, R)
         t = jnp.where(accept, T_new.t, t)
         points = jnp.where(accept, pts_new, points)
@@ -327,10 +334,8 @@ def bundle_adjust_cg(
             bp_terms.reshape(-1, 3), flat_lm, num_segments=P
         )
 
-        # relative damping — see the dense path's comment
-        dmean3 = jnp.einsum("pii->p", Hpp) / 3.0
-        damp3 = lam * dmean3 + 1e-8
-        Hpp_d = Hpp + damp3[:, None, None] * jnp.eye(3, dtype=r.dtype)[None]
+        # absolute damping + guarded inverse — see the dense path's comment
+        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
         Hpp_inv = inv3x3_guarded(Hpp_d)
         if prob.point_fixed is not None:
             Hpp_inv = jnp.where(prob.point_fixed[:, None, None], 0.0, Hpp_inv)
@@ -404,13 +409,22 @@ def bundle_adjust_cg(
         active2 = active0 & gate & (p_c2[..., 2] > 1e-2)
         cost_new, _ = _cost_and_weights(r2, prob.obs_sigma2, active2)
 
-        # masked cost can only be compared over comparable active sets: an
-        # exploded step that throws half the points behind the cameras
-        # "wins" on cost (fewer summands) while destroying the map — reject
-        # any step that collapses the active count
+        # masked cost can only be compared over comparable active sets: a
+        # corrupted step that throws points behind the cameras (or NaNs
+        # them) "wins" on cost by deleting its own summands while
+        # destroying the map. Reject any step that loses over half the
+        # active set, and any non-finite cost. (A 2% threshold was tried:
+        # it also rejects legitimate large early corrections under heavy
+        # outliers and measurably hurt accuracy; half-collapse only ever
+        # happens on corrupted steps.) This is the containment layer that
+        # lets LM re-damp and recover from a sloppy Hpp block.
         n_act = jnp.sum(active)
         n_act2 = jnp.sum(active2)
-        accept = (cost_new < cost) & (n_act2 * 2 >= n_act)
+        accept = (
+            (cost_new < cost)
+            & jnp.isfinite(cost_new)
+            & (n_act2 * 2 >= n_act)
+        )
         R = jnp.where(accept, T_new.R, R)
         t = jnp.where(accept, T_new.t, t)
         points = jnp.where(accept, pts_new, points)

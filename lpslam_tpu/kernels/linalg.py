@@ -36,23 +36,38 @@ def inv3x3(M, eps: float = 0.0):
     return inv / det[..., None, None]
 
 
-def inv3x3_guarded(M, tol: float = 1e-2):
-    """Adjugate inverse with a residual quality gate: blocks whose inverse
-    fails ``max|M @ inv - I| <= tol`` are returned as ZERO.
+def inv3x3_guarded(M, tol: float = 1e12):
+    """Adjugate inverse of damped-SPD blocks with a catastrophe gate:
+    blocks whose inverse is order-of-magnitude garbage return ZERO.
 
-    Why: for ill-conditioned blocks the adjugate's f32 cofactor
+    Why: for f32-ill-conditioned blocks the adjugate's cofactor
     cancellation produces FINITE garbage (entries wrong by orders of
-    magnitude) — unlike LU, which returns inf/nan that a plain isfinite
-    guard catches. In bundle adjustment a poisoned point inverse silently
-    corrupts the Schur complement and the resulting exploded step can mask
+    magnitude, often indefinite) — unlike LU, which returns inf/nan that a
+    plain isfinite guard catches. In bundle adjustment one such block
+    silently corrupts the Schur complement, and the exploded step can mask
     its own cost (all observations invalidated -> masked cost 0 ->
-    accepted), NaN-ing the map. Zeroing the block freezes that point for
-    the iteration — the same degenerate-block semantics the isfinite guard
-    gave the LU path."""
+    accepted), NaN-ing the map — the observed TPU stereo failure mode.
+
+    The gate is deliberately VERY permissive: in measurement, even
+    inverses with residuals up to ~1e9 still produced useful descent under
+    LM accept/reject, and freezing them cost up to 3x ATE on the outlier
+    benchmark (their points stop updating while their stale residuals keep
+    steering cameras). Only the det-clamp blowup class dies here — exact
+    f32 cancellation drives the adjugate determinant to the 1e-20 clamp
+    and the 'inverse' to ~1e28 entries / ~1e35 residuals, the kind that
+    NaN'ed whole stereo maps in one BA call. The LM active-set accept
+    guard in backend/ba.py contains everything milder. Killed blocks:
+    non-finite, residual beyond ``tol``, or a non-positive diagonal — a
+    true inverse of an SPD block has strictly positive diagonals, so an
+    indefinite result is always cancellation garbage regardless of its
+    residual magnitude."""
     inv = inv3x3(M)
     eye = jnp.eye(3, dtype=M.dtype)
     resid = jnp.max(jnp.abs(M @ inv - eye), axis=(-2, -1), keepdims=True)
-    ok = jnp.isfinite(resid) & (resid <= tol)
+    diag_ok = jnp.all(
+        jnp.diagonal(inv, axis1=-2, axis2=-1) > 0.0, axis=-1
+    )[..., None, None]
+    ok = jnp.isfinite(resid) & (resid <= tol) & diag_ok
     ok = ok & jnp.all(jnp.isfinite(inv), axis=(-2, -1), keepdims=True)
     return jnp.where(ok, inv, 0.0)
 
