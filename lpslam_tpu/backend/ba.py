@@ -21,6 +21,7 @@ Design (dense-block, SURVEY.md §7 "Sparse BA on TPU"):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -32,6 +33,25 @@ from ..geometry.camera import PinholeCamera
 from ..kernels.linalg import inv3x3_guarded
 
 CHI2_2D = 5.991
+
+# Ablation hooks (tools/ablate_ba_robustness.py). The SHIPPED formulation is
+# absolute (Levenberg) point-block damping + the permissive inv3x3_guarded
+# tol=1e12 catastrophe gate; these env knobs let the ablation re-run the
+# full e2e eval under the round-4 alternatives (relative/Marquardt damping,
+# tight tol=1e-2 guard) in a fresh process without forking the solver.
+# Read once at import; traced into the compiled programs.
+_BA_DAMPING = os.environ.get("LPSLAM_BA_DAMPING", "absolute")
+_BA_GUARD_TOL = float(os.environ.get("LPSLAM_BA_GUARD_TOL", "1e12"))
+
+
+def _damp_point_blocks(Hpp, lam):
+    """Damped per-landmark 3x3 blocks under the configured formulation."""
+    eye3 = jnp.eye(3, dtype=Hpp.dtype)
+    if _BA_DAMPING == "relative":
+        # Marquardt: scale each diagonal entry by (1 + lam)
+        diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+        return Hpp + eye3 * (lam * diag + 1e-8)[..., :, None]
+    return Hpp + (lam + 1e-8) * eye3
 
 
 class BAProblem(NamedTuple):
@@ -169,14 +189,15 @@ def bundle_adjust(
         # f32-hostile conditioning on degenerate blocks; inv3x3_guarded's
         # residual gate freezes exactly those (see kernels/linalg.py), and
         # the active-set accept guard below is the second line of defense.
-        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
+        # (tools/ablate_ba_robustness.py measures the alternatives e2e.)
+        Hpp_d = _damp_point_blocks(Hpp, lam)
         # closed-form adjugate inverse with a residual quality gate
         # (kernels/linalg.py): jnp.linalg.inv lowers to batched LU (~3.8 ms
         # for (4096,3,3) on a v5e — the single largest term of a local-BA
         # iteration). Degenerate blocks freeze to zero — the adjugate's f32
         # cancellation yields FINITE garbage on them that an isfinite
         # check alone does not catch (it NaN'ed whole stereo maps on TPU).
-        Hpp_inv = inv3x3_guarded(Hpp_d)
+        Hpp_inv = inv3x3_guarded(Hpp_d, tol=_BA_GUARD_TOL)
         # fixed points: zero Hpp_inv = infinite prior on the point, so the
         # Schur term vanishes, cameras see the raw reprojection residuals of
         # the (trusted) point, and the point update is exactly zero
@@ -335,8 +356,8 @@ def bundle_adjust_cg(
         )
 
         # absolute damping + guarded inverse — see the dense path's comment
-        Hpp_d = Hpp + (lam + 1e-8) * jnp.eye(3, dtype=r.dtype)[None]
-        Hpp_inv = inv3x3_guarded(Hpp_d)
+        Hpp_d = _damp_point_blocks(Hpp, lam)
+        Hpp_inv = inv3x3_guarded(Hpp_d, tol=_BA_GUARD_TOL)
         if prob.point_fixed is not None:
             Hpp_inv = jnp.where(prob.point_fixed[:, None, None], 0.0, Hpp_inv)
 
@@ -366,6 +387,12 @@ def bundle_adjust_cg(
         from ..kernels.linalg import inv6x6_spd
 
         Mi = inv6x6_spd(Hcc + (lam + 1e-6) * eye6[None])
+        # degenerate camera blocks can yield a non-finite adjugate; fall back
+        # to identity so CG iterations aren't wasted (mirrors sharded_map)
+        Mi = jnp.where(
+            jnp.all(jnp.isfinite(Mi), axis=(-2, -1), keepdims=True),
+            Mi, eye6[None],
+        )
         Mi = jnp.where(prob.cam_fixed[:, None, None], eye6[None], Mi)
 
         def precond(v):

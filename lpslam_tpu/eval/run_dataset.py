@@ -206,6 +206,9 @@ def main(argv=None):
         tracker.process_image(entry)
         timestamps.append(frame.timestamp)
         n += 1
+        if n % 100 == 0:
+            print(f"[eval] {n} frames, {n / (time.perf_counter() - t_start):.1f} fps",
+                  file=sys.stderr, flush=True)
         if args.max_frames and n >= args.max_frames:
             break
     tracker.flush()  # drain deferred chunk results into the trajectory

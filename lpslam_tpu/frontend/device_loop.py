@@ -250,10 +250,14 @@ def make_chunk_step(cam: PinholeCamera, cfg: TrackerConfig, mask=None,
         if mapping_enabled and ba_in_scan and cfg.local_ba_window > 0:
             from ..backend.ba import local_ba
 
-            if cfg.scan_ba_min_interval > 0:
+            scan_interval = (
+                cfg.scan_ba_min_interval
+                if mode == "mono"
+                else cfg.scan_ba_min_interval_depth
+            )
+            if scan_interval > 0:
                 ba_due = kf & (
-                    carry.frame_id - carry.last_ba_frame
-                    >= cfg.scan_ba_min_interval
+                    carry.frame_id - carry.last_ba_frame >= scan_interval
                 )
             m2 = jax.lax.cond(
                 ba_due,

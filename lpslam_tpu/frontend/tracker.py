@@ -76,6 +76,13 @@ class TrackerConfig(NamedTuple):
     # backs up (openvslam mapping_module abort_local_BA). 0 = BA on every
     # keyframe (the host path's cadence).
     scan_ba_min_interval: int = 8
+    # per-mode cadence: depth modes (stereo/rgbd) insert keyframes denser
+    # than mono, so the mono rate cap skips a larger fraction of their BAs
+    # — measured ~17% ATE cost on short bursts (PERF.md r4). Depth-seeded
+    # maps also make each window BA cheaper (no scale drift to absorb), so
+    # the depth modes default to BA on EVERY keyframe, restoring host-path
+    # accuracy parity in the chunk loop.
+    scan_ba_min_interval_depth: int = 0
     # keyframe culling + compaction (engine mapping-module map maintenance):
     # after each keyframe insertion, keyframes whose landmarks are seen by
     # >= kf_cull_min_other_obs other keyframes at >= kf_cull_redundancy

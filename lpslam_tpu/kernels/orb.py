@@ -534,7 +534,7 @@ def extract_orb(img, params: OrbParams = OrbParams()) -> OrbFeatures:
             # moment maps, no all-bins sampling
             use_pallas_patches = params.pallas_patches == "on" or (
                 params.pallas_patches == "auto"
-                and jax.default_backend() not in ("cpu", "gpu")
+                and jax.default_backend() == "tpu"
             )
             if use_pallas_patches:
                 from .pallas_patch import extract_patches_pallas

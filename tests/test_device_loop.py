@@ -98,7 +98,7 @@ def test_collect_empty():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["stereo", "rgbd"])
-def test_chunked_depth_modes(mode):
+def test_chunked_depth_modes(mode, scan_ba_interval=None, ate_bound=0.13):
     """Stereo / RGB-D chunk scans: depth-seeded keyframes under lax.cond
     (insert_keyframe_depth + far-point triangulation), metric-scale ATE."""
     from lpslam_tpu.frontend.stereo import StereoTracker, RGBDTracker
@@ -110,6 +110,8 @@ def test_chunked_depth_modes(mode):
         with_depth=mode == "rgbd",
     )
     cam, cfg = _setup(seq)
+    if scan_ba_interval is not None:
+        cfg = cfg._replace(scan_ba_min_interval_depth=scan_ba_interval)
     if mode == "stereo":
         eng = StereoTracker(cam, focal_x_baseline=230.0 * baseline, cfg=cfg,
                             depth_threshold=60.0)
@@ -149,10 +151,17 @@ def test_chunked_depth_modes(mode):
         gt.append(np.asarray(seq.poses_wc[t0 + i].t))
     # metric modes: NO scale alignment — depth must anchor true scale.
     # Bound anchored on the host per-frame path (~0.125 on this 28-frame
-    # burst). The chunked scan runs the SAME program — with
-    # scan_ba_min_interval=0 it measures 0.1253 vs host 0.1251 — but the
-    # default in-scan BA rate cap (8 frames) skips some keyframe BAs, which
-    # on a burst this short costs ~17% (0.146 measured). Bound = host +
-    # the documented cadence allowance.
+    # burst). Depth modes now default to scan_ba_min_interval_depth=0 (BA
+    # on every keyframe, the host path's cadence — r4 measured the mono
+    # rate cap costing ~17% here: 0.146 vs 0.125), so the chunk loop runs
+    # the same program at the same cadence and must meet the host bound.
     rmse, _ = ate_rmse(np.asarray(est), np.asarray(gt), with_scale=False)
-    assert rmse < 0.16, rmse
+    assert rmse < ate_bound, rmse
+
+
+@pytest.mark.slow
+def test_chunked_stereo_rate_capped():
+    """The mono-style in-scan BA rate cap stays available for depth modes
+    (throughput escape hatch); its measured short-burst accuracy cost is
+    bounded so regressions in the capped path stay visible."""
+    test_chunked_depth_modes("stereo", scan_ba_interval=8, ate_bound=0.16)
