@@ -121,6 +121,7 @@ class TestCullAndCompact:
         )
 
 
+@pytest.mark.slow
 class TestTrackerBounded:
     def test_long_run_stays_under_capacity(self):
         """A long synthetic run with a small keyframe budget must keep

@@ -2,6 +2,7 @@
 trajectory twice (SURVEY §7: replay-mode determinism makes ATE regression
 tests stable — unlike the reference's thread-racy pipeline)."""
 import numpy as np
+import pytest
 
 from lpslam_tpu.geometry import PinholeCamera
 from lpslam_tpu.io.synthetic import make_sequence
@@ -19,6 +20,7 @@ def run_once(seq, cam, cfg):
     return poses
 
 
+@pytest.mark.slow
 def test_tracker_is_deterministic():
     seq = make_sequence(num_frames=18, h=240, w=320, seed=9, motion="orbit", fx=230.0)
     cam = PinholeCamera.make(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])

@@ -25,7 +25,11 @@ def test_chunked_long_run_capacity_and_insertion():
     keyframes must still be inserted in the final tenth of the run (no
     silent starvation at the wall — round-2 gap)."""
     CHUNK = 16
-    N_FRAMES = 2048
+    # 1024 frames = 5 full orbit cycles against a 16-keyframe store — the
+    # capacity/starvation asserts bind identically at this length (they
+    # trip within ~2 cycles when broken); the 2048+-frame product-capacity
+    # soak moved on-chip (tools/soak_long_run.py, SOAK artifacts)
+    N_FRAMES = 1024
     # cycling orbit (period 200) so the per-frame motion rate matches a
     # real camera regardless of sequence length — the camera keeps circling
     # the same scene, the canonical long-session SLAM workload

@@ -103,8 +103,10 @@ def test_verification_latency_off_the_frame_path(monkeypatch):
     cam = PinholeCamera.make(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2])
 
     def run_once():
+        # same shapes as _run() above: every jitted program is already in
+        # the process-wide cache from the first test, so warmup is cheap
         tr = VSLAMTracker(cam, {
-            "mode": "mono", "keypoints": 384, "max_keyframes": 32,
+            "mode": "mono", "keypoints": 512, "max_keyframes": 32,
             "max_landmarks": 8192, "loop_closure": True, "loop_async": True,
             "vocab_file": "/nonexistent/vocab",
         })

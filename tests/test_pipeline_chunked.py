@@ -76,6 +76,7 @@ def test_vslam_tracker_chunked_parity_with_host():
     assert ate_chunk < max(1.5 * ate_host, ate_host + 0.02), (ate_chunk, ate_host)
 
 
+@pytest.mark.slow
 def test_chunked_deferred_result_protocol():
     """While buffering, process_image returns None (manager must not emit an
     invalid result); at the boundary it returns the whole chunk's results."""

@@ -87,6 +87,7 @@ def test_insert_preserves_residency_and_values():
         assert int(rm.m.kf_frame_id[i]) == kfs[i]["frame_id"]
 
 
+@pytest.mark.slow
 def test_local_ba_matches_single_device_solver():
     """The halo-exchange window BA must equal backend.ba.local_ba's
     temporal-window solve bit-for-bit in configuration (same window, same
@@ -123,6 +124,7 @@ def test_loop_scores_on_resident_db():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_resident_sequence_mesh_invariance():
     """insert -> local BA -> loop score -> global BA against the PERSISTENT
     resident store: the whole sequence is mesh-size invariant and keeps the

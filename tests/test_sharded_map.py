@@ -85,6 +85,7 @@ class TestShardedGlobalBA:
         # both converge; distributed within 2x of dense's error (CG inexactness)
         assert s_t < max(2.0 * d_t, 5e-3), (s_t, d_t)
 
+    @pytest.mark.slow
     def test_mesh_size_invariance(self):
         """1, 2, 4, 8 devices produce the same solution (collectives are
         exact reductions — layout must not change the math)."""
@@ -108,6 +109,7 @@ class TestShardedGlobalBA:
 
 
 class TestShardedMapStoreBA:
+    @pytest.mark.slow
     def test_global_ba_over_mapstore(self):
         """End-to-end: build a tracker map on synthetic data, run the
         keyframe-sharded global BA over the whole MapStore, landmarks and

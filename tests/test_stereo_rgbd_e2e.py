@@ -40,6 +40,7 @@ def run_and_eval(tracker, seq, aux_list):
     return rmse, n_track, len(statuses), est, gt
 
 
+@pytest.mark.slow
 def test_stereo_tracking_synthetic():
     # baseline chosen so the reference's depth_threshold*baseline cutoff
     # (40*b = 8) comfortably covers the scene plane at z=5
@@ -62,6 +63,7 @@ def test_stereo_tracking_synthetic():
     assert abs(pl_est - pl_gt) / pl_gt < 0.15, (pl_est, pl_gt)
 
 
+@pytest.mark.slow
 def test_rgbd_tracking_synthetic():
     seq = make_sequence(
         num_frames=30, h=240, w=320, seed=3, motion="orbit", fx=230.0,
