@@ -291,6 +291,14 @@ def _staged_lm(prob, cam, iters, lm_lambda0, active0, step):
         return (chi <= CHI2_2D * mult) & (pc_[..., 2] > 1e-2)
 
     gate = cull(carry, 4.0)
+    # The lambda RESET at each phase boundary is deliberate and measured
+    # (round-5 profiling, tools/profile_ba_convergence.py): carrying the
+    # adapted lambda across phases converges the window cost much further
+    # at iters=8 (35-60% excess -> 11-21%) but HURTS trajectory accuracy —
+    # chunked stereo burst ATE 0.331 (carry) / 0.393 (carry with
+    # lambda0 floor) vs 0.125 with the reset. Tighter window convergence
+    # fits the culled inlier set at the expense of weakly-constrained
+    # geometry; the conservative per-phase restart is the ATE optimum.
     carry = (carry[0], carry[1], carry[2], jnp.float32(lm_lambda0))
     carry = jax.lax.fori_loop(0, n2, lambda _, c: step(c, gate), carry)
     gate = gate & cull(carry, 1.5)

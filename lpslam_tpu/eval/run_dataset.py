@@ -81,6 +81,8 @@ def main(argv=None):
     p.add_argument("--mode", default="mono", choices=["mono", "stereo", "rgbd"])
     p.add_argument("--keypoints", type=int, default=1200)
     p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--brief-mode", default="polar", dest="brief_mode",
+                   choices=["polar", "binned", "gather", "exact"])
     p.add_argument("--frames", type=int, default=0, dest="max_frames")
     p.add_argument("--max-keyframes", type=int, default=128)
     p.add_argument("--max-landmarks", type=int, default=24576)
@@ -155,6 +157,7 @@ def main(argv=None):
         "mode": args.mode,
         "keypoints": args.keypoints,
         "levels": args.levels,
+        "brief_mode": args.brief_mode,
         "max_keyframes": args.max_keyframes,
         "max_landmarks": args.max_landmarks,
         "focal_x_baseline": fxb if args.mode == "stereo" else 0.0,

@@ -125,6 +125,12 @@ class VSLAMTracker(TrackerBase):
         .optional("scale_factor", float, 1.2)
         .optional("fast_threshold", float, 20.0)
         .optional("fast_min_threshold", float, 7.0)
+        # descriptor path (kernels/orb.py OrbParams.brief_mode): "polar"
+        # (default), "binned", "gather", "exact" — the engine-level feature
+        # switch analog of the reference's use_opencl/use_cuda flags
+        # (OpenVSLAMTrackerBase.cpp:208-209); exposed so descriptor ablations
+        # run the REAL product path end-to-end
+        .optional("brief_mode", str, "polar")
         .optional("max_keyframes", int, 128)
         .optional("max_landmarks", int, 16384)
         .optional("focal_x_baseline", float, 0.0)
@@ -181,6 +187,7 @@ class VSLAMTracker(TrackerBase):
             scale_factor=self.cfg["scale_factor"],
             fast_threshold=self.cfg["fast_threshold"],
             fast_min_threshold=self.cfg["fast_min_threshold"],
+            brief_mode=self.cfg["brief_mode"],
         )
         tcfg = TrackerConfig(
             orb=orb,
