@@ -44,7 +44,15 @@ def match_stereo(
     idx = jnp.argmin(D, axis=1)
     rows = jnp.arange(desc_l.shape[0])
     best = D[rows, idx]
-    ok = (best <= max_hamming) & valid_l
+    # mutual-best (left-right) consistency on the SAME distance matrix: a
+    # right keypoint claimed by a left keypoint must claim it back. Kills
+    # one-sided false matches that pass the row/disparity/Hamming gates and
+    # would otherwise seed wrong metric depth (measured r5: stereo room ATE
+    # 0.0946 -> see PERF.md stereo section) — the reference engine's stereo
+    # matcher enforces the same best-in-both-directions property.
+    idx_back = jnp.argmin(D, axis=0)  # (Nr,) best left row per right kp
+    mutual = idx_back[idx] == rows
+    ok = (best <= max_hamming) & valid_l & mutual
     disparity = uv_l[:, 0] - uv_r[idx, 0]
     return disparity, idx.astype(jnp.int32), ok
 
