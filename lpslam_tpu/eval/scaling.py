@@ -246,6 +246,16 @@ def run_model(args, cam, platform: str) -> int:
                    ar_bw_gbs=args.ici_gbs, latency_us=args.latency_us)
         for n in (1, 2, 4, 8)
     ]
+    # honest combined efficiency: MEASURED per-device compute share (which
+    # includes the O(P) landmark-side work that does NOT shard along the
+    # keyframe axis — the Amdahl term) + modeled comm, instead of the
+    # optimistic t1/n
+    meas = {r["hosts_equivalent"]: r["time_s"] for r in compute_rows}
+    for row in model_rows:
+        n = row["hosts"]
+        if n in meas:
+            t_tot = meas[n] + row["t_comm_s"]
+            row["efficiency_measured_compute"] = round(t1 / (n * t_tot), 3)
     out = {
         "problem": {
             "keyframes": args.keyframes, "landmarks": args.landmarks,
