@@ -92,6 +92,8 @@ def main(argv=None):
                         " (BASELINE config 4: loop closure + global BA +"
                         " Sim3 pose graph); 0 disables, only active with"
                         " --loop")
+    p.add_argument("--local-ba-iters", type=int, default=0, dest="local_ba_iters",
+                   help="LM iterations for windowed local BA (0 = engine default)")
     p.add_argument("--vocab", default="", help="vocabulary file (else lazy-trained)")
     p.add_argument("--chunk", type=int, default=0,
                    help="device chunk size: >=2 runs steady tracking through"
@@ -165,6 +167,7 @@ def main(argv=None):
         "loop_global_ba_iters": args.global_ba if args.loop else 0,
         "vocab_file": args.vocab,
         "chunk_size": args.chunk,
+        "local_ba_iters": args.local_ba_iters,
     })
 
     def parse_range(spec):

@@ -177,6 +177,11 @@ class VSLAMTracker(TrackerBase):
         # on the host path; results for buffered frames are emitted at
         # chunk boundaries.
         .optional("chunk_size", int, 0)
+        # LM iterations for windowed local BA (host path AND in-scan
+        # chunk-boundary BA). 0 = engine default (TrackerConfig). The
+        # convergence profile (tools/profile_ba_convergence.py) measures
+        # where extra iterations stop reducing cost on real map windows.
+        .optional("local_ba_iters", int, 0)
     )
 
     def __init__(self, cam: PinholeCamera, config: Optional[dict] = None):
@@ -197,6 +202,8 @@ class VSLAMTracker(TrackerBase):
                 num_keypoints=self.cfg["keypoints"],
             ),
         )
+        if self.cfg["local_ba_iters"] > 0:
+            tcfg = tcfg._replace(local_ba_iters=self.cfg["local_ba_iters"])
         mode = self.cfg["mode"]
         if mode == "stereo":
             self.engine = StereoTracker(
